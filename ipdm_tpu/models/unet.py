@@ -1,0 +1,286 @@
+"""DDPM ε-prediction UNet, TPU-native (Flax linen, NHWC).
+
+Architecturally equivalent to the reference UNetModel (Model/model.py:190-310):
+same channel_mult semantics (channel_mult[0] scales the stem conv;
+downsampling after every level except the last), same GroupNorm group-count
+rule (model.py:69-90), attention inserted where the downsample factor `ds` is
+in attention_resolutions, explicit-size nearest upsampling so the odd-shaped
+2000×912 sinogram pyramid (2000→1000→500→250→125→63) round-trips exactly, and
+the same 4×-wide sinusoidal timestep MLP.
+
+TPU-first choices: NHWC layout (XLA's native conv layout on TPU), fused
+dot_product_attention-style einsum attention, optional bfloat16 activations
+with float32 params, and no data-dependent Python control flow — the module
+jits once per input shape.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period=10000,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """Sinusoidal embeddings, cos-then-sin ordering (reference model.py:14-32)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period)
+                    * jnp.arange(half, dtype=jnp.float32) / half).astype(dtype)
+    args = timesteps.astype(dtype)[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate(
+            [embedding, jnp.zeros_like(embedding[:, :1])], axis=-1)
+    return embedding
+
+
+def group_count(channels: int) -> int:
+    """GroupNorm group-count rule of the reference (model.py:69-90):
+    32 if divisible; C if C<32; else the divisor of C nearest to 32."""
+    if channels % 32 == 0:
+        return 32
+    if channels < 32:
+        return channels
+    divs = np.array([d for d in range(1, channels + 1) if channels % d == 0])
+    return int(divs[np.argmin((divs - 32) ** 2)])
+
+
+class GN(nn.Module):
+    """GroupNorm with the reference group rule; f32 statistics."""
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.GroupNorm(num_groups=group_count(self.channels),
+                            epsilon=1e-5, dtype=self.dtype,
+                            param_dtype=jnp.float32)(x)
+
+
+def nearest_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """Nearest-neighbour resize of NHWC x to spatial `size` using the
+    floor(dst·in/out) index convention of torch F.interpolate(mode='nearest')
+    (used by reference Upsample, model.py:160-171), so the up path matches the
+    reference exactly even at odd sinogram shapes."""
+    H, W = x.shape[1], x.shape[2]
+    h_idx = (np.arange(size[0]) * H // size[0]).astype(np.int32)
+    w_idx = (np.arange(size[1]) * W // size[1]).astype(np.int32)
+    return x[:, h_idx][:, :, w_idx]
+
+
+class ResidualBlock(nn.Module):
+    """GN→SiLU→3×3 conv ×2 with additive time embedding and 1×1 shortcut
+    (reference model.py:95-130)."""
+    in_channels: int
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb):
+        h = GN(self.in_channels, self.dtype)(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv1")(h)
+        t = nn.Dense(self.out_channels, dtype=self.dtype,
+                     param_dtype=jnp.float32,
+                     name="time_emb")(nn.silu(temb))
+        h = h + t[:, None, None, :]
+        h = GN(self.out_channels, self.dtype)(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="conv2")(h)
+        if self.in_channels != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                        param_dtype=jnp.float32, name="shortcut")(x)
+        return h + x
+
+
+class AttentionBlock(nn.Module):
+    """Self-attention over H·W tokens with residual (reference model.py:135-155).
+    Scale 1/√√(C/heads) applied to both q and k; softmax in float32."""
+    channels: int
+    num_heads: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        hd = C // self.num_heads
+        h = GN(C, self.dtype)(x)
+        qkv = nn.Conv(3 * C, (1, 1), use_bias=False, dtype=self.dtype,
+                      param_dtype=jnp.float32, name="qkv")(h)
+        qkv = qkv.reshape(B, H * W, self.num_heads, 3 * hd)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        scale = 1.0 / math.sqrt(math.sqrt(hd))
+        attn = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhts,bshd->bthd", attn, v)
+        out = out.reshape(B, H, W, C)
+        out = nn.Conv(C, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
+                      name="proj")(out)
+        return out + x
+
+
+class Downsample(nn.Module):
+    """3×3 stride-2 conv, pad 1 → ceil(n/2) (reference model.py:175-185)."""
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=1,
+                       dtype=self.dtype, param_dtype=jnp.float32,
+                       name="op")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest resize to explicit size + 3×3 conv (reference model.py:160-171)."""
+    channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, size):
+        x = nearest_resize(x, size)
+        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.dtype,
+                       param_dtype=jnp.float32, name="conv")(x)
+
+
+class UNetModel(nn.Module):
+    """Full UNet (reference model.py:190-310). NHWC in/out.
+
+    channel_mult[0] scales the stem conv; remaining entries define levels,
+    each with num_res_blocks residual blocks, optional attention at
+    ds ∈ attention_resolutions, and a downsample between levels (not after
+    the last). Up path consumes skips in reverse with channel concat.
+    """
+    in_channels: int = 3
+    model_channels: int = 128
+    out_channels: int = 3
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (8, 16)
+    channel_mult: Sequence[float] = (1, 2, 2, 2)
+    num_heads: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    def plan(self):
+        """Static block plan: (down_plan, middle_ch, up_plan).
+
+        down_plan: list of entries; each entry is ('stem', ch) or
+        ('res', in_ch, out_ch, attn: bool) or ('down', ch).
+        up_plan: list of ('res', in_ch, out_ch, attn, upsample_to_level|None).
+        Mirrors the constructor loops of reference model.py:224-275."""
+        mc = self.model_channels
+        stem_ch = int(self.channel_mult[0] * mc)
+        level_mults = list(self.channel_mult[1:])
+        down = [("stem", stem_ch)]
+        ch = stem_ch
+        chans = [ch]
+        ds = 1
+        for level, mult in enumerate(level_mults):
+            for _ in range(self.num_res_blocks):
+                out_ch = int(mult * mc)
+                down.append(("res", ch, out_ch,
+                             ds in self.attention_resolutions))
+                ch = out_ch
+                chans.append(ch)
+            if level != len(level_mults) - 1:
+                down.append(("down", ch))
+                chans.append(ch)
+                ds *= 2
+        middle_ch = ch
+        up = []
+        for level, mult in list(enumerate(level_mults))[::-1]:
+            for i in range(self.num_res_blocks + 1):
+                skip = chans.pop()
+                out_ch = int(mult * mc)
+                attn = ds in self.attention_resolutions
+                upsample = bool(level and i == self.num_res_blocks)
+                up.append(("res", ch + skip, out_ch, attn, upsample))
+                ch = out_ch
+                if upsample:
+                    ds //= 2
+        return down, middle_ch, up, ch
+
+    @nn.compact
+    def __call__(self, x, timesteps):
+        """x: [B,H,W,C_in] NHWC; timesteps: [B]. Returns [B,H,W,C_out]."""
+        down_plan, middle_ch, up_plan, final_ch = self.plan()
+        time_embed_dim = self.model_channels * 4
+        emb = timestep_embedding(timesteps, self.model_channels,
+                                 dtype=jnp.float32)
+        emb = nn.Dense(time_embed_dim, param_dtype=jnp.float32,
+                       name="time_dense1")(emb)
+        emb = nn.Dense(time_embed_dim, param_dtype=jnp.float32,
+                       name="time_dense2")(nn.silu(emb))
+        emb = emb.astype(self.dtype)
+
+        h = x.astype(self.dtype)
+        hs = []
+        di = 0
+        for entry in down_plan:
+            if entry[0] == "stem":
+                h = nn.Conv(entry[1], (3, 3), padding=1, dtype=self.dtype,
+                            param_dtype=jnp.float32, name=f"down{di}_stem")(h)
+            elif entry[0] == "res":
+                _, in_ch, out_ch, attn = entry
+                h = ResidualBlock(in_ch, out_ch, self.dtype,
+                                  name=f"down{di}_res")(h, emb)
+                if attn:
+                    h = AttentionBlock(out_ch, self.num_heads, self.dtype,
+                                       name=f"down{di}_attn")(h)
+            else:  # down
+                h = Downsample(entry[1], self.dtype,
+                               name=f"down{di}_ds")(h)
+            hs.append(h)
+            di += 1
+
+        h = ResidualBlock(middle_ch, middle_ch, self.dtype,
+                          name="mid_res1")(h, emb)
+        h = AttentionBlock(middle_ch, self.num_heads, self.dtype,
+                           name="mid_attn")(h)
+        h = ResidualBlock(middle_ch, middle_ch, self.dtype,
+                          name="mid_res2")(h, emb)
+
+        h_ = hs.pop()
+        for ui, entry in enumerate(up_plan):
+            _, in_ch, out_ch, attn, upsample = entry
+            cat_in = jnp.concatenate([h, h_], axis=-1)
+            if hs:
+                h_ = hs.pop()
+            size = (h_.shape[1], h_.shape[2])
+            h = ResidualBlock(in_ch, out_ch, self.dtype,
+                              name=f"up{ui}_res")(cat_in, emb)
+            if attn:
+                h = AttentionBlock(out_ch, self.num_heads, self.dtype,
+                                   name=f"up{ui}_attn")(h)
+            if upsample:
+                h = Upsample(out_ch, self.dtype, name=f"up{ui}_us")(h, size)
+
+        h = GN(final_ch, self.dtype)(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=jnp.float32, name="out_conv")(h)
+        return h.astype(jnp.float32)
+
+
+def build_unet(opt, domain: str) -> UNetModel:
+    """Construct the img- or proj-domain UNet from an IPDMConfig
+    (mirrors reference init_img_model/init_proj_model,
+    Utils/train_test_utils.py:213-245)."""
+    assert domain in ("img", "proj")
+    g = lambda name: getattr(opt, f"{name}_{domain}")
+    dtype = jnp.bfloat16 if opt.compute_dtype == "bfloat16" else jnp.float32
+    return UNetModel(
+        in_channels=g("in_channels"),
+        model_channels=g("model_channels"),
+        out_channels=g("out_channels"),
+        attention_resolutions=tuple(int(a) for a in g("attention_resolutions")),
+        channel_mult=tuple(g("channel_mult")),
+        dtype=dtype,
+    )

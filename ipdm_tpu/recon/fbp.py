@@ -1,0 +1,136 @@
+"""Equiangular fan-beam filtered backprojection, fully on-device.
+
+TPU redesign of the reference FBP (Recon/FBP_kernel.py:27-184):
+  * identical geometry constants — source-axis 59.5 cm, axis-detector
+    49.06 cm, 912 detectors at Δγ = 0.0010125 rad with a +3.75-bin offset,
+    2000 views over 360° in 0.18° steps, 512² grid of half-size L = 21 cm
+    (FBP_kernel.py:32-44);
+  * the R-L ramp kernel h_RL (FBP_kernel.py:52-56) is applied as an FFT
+    convolution (the reference uses direct convolution — a numba CUDA
+    atomicAdd kernel :134-143; an rFFT of the 2000-view batch is the
+    bandwidth-optimal TPU formulation and is numerically identical to the
+    'full'-convolution slice [N−1 : 2N−1]);
+  * backprojection is a per-view gather with linear detector interpolation and
+    1/L² distance weighting (fbp_kernel :146-163), batched over view blocks
+    under lax.map.
+
+Like the reference `convert`, the detector axis is flipped on input and the
+image flipped back on output (FBP_kernel.py:99-118).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class FBPGeometry:
+    """Precomputed constants of the reference FBP (FBP_kernel.py:32-60)."""
+
+    def __init__(self, n_det: int = 912, n_views: int = 2000, grid_n: int = 512,
+                 grid_l: float = 21.0, os_: float = 59.5, od: float = 49.06,
+                 da: float = 0.0010125, det_offset: float = 3.75,
+                 view_step_deg: float = 0.18):
+        self.N = n_det
+        self.M = n_views
+        self.grid_n = grid_n
+        self.grid_l = grid_l
+        self.D = os_
+        self.da = da
+        self.theta = (np.arange(n_views) * view_step_deg / 180.0 * np.pi
+                      ).astype(np.float64)
+        self.nda = (np.arange(-n_det / 2 + 0.5 + det_offset,
+                              n_det / 2 - 0.5 + det_offset + 1)
+                    * da).astype(np.float32)
+        # R-L ramp kernel, length 2N−1 (FBP_kernel.py:52-56)
+        h = np.zeros(2 * n_det - 1, dtype=np.float64)
+        ngamma = np.arange(-n_det + 1, n_det, 2) * da
+        h[0::2] = -0.5 / np.pi ** 2 / (np.sin(ngamma) ** 2)
+        h[n_det - 1] = 1 / 8 / da ** 2
+        self.h_RL = (h * da).astype(np.float32)
+        # per-pixel polar coordinates (FBP_kernel.py:69-84)
+        self.r, self.phi = self._getrphi()
+
+    def _getrphi(self) -> Tuple[np.ndarray, np.ndarray]:
+        n, L = self.grid_n, self.grid_l
+        cx = cy = n / 2
+        i, j = np.meshgrid(np.arange(1, n + 1), np.arange(1, n + 1),
+                           indexing="ij")
+        y = (n + 1 - i - cx - 0.5) * 2 * L / n
+        x = (j - cy - 0.5) * 2 * L / n
+        r = np.sqrt(x ** 2 + y ** 2)
+        phi = np.arctan(y / x)
+        phi[x < 0] += np.pi
+        phi[phi < 0] += 2 * np.pi
+        return r.astype(np.float32), phi.astype(np.float32)
+
+
+SIEMENS_FBP = FBPGeometry()
+
+
+def ramp_filter(pj: jnp.ndarray, h_RL: jnp.ndarray, n_det: int) -> jnp.ndarray:
+    """Filter [.., M, N] weighted projections with the ramp kernel via rFFT
+    (≡ np.convolve(kernel, row)[N−1 : 2N−1], FBP_kernel.py:125-131)."""
+    L = int(2 ** math.ceil(math.log2(3 * n_det - 2)))
+    K = jnp.fft.rfft(h_RL, n=L)
+    P = jnp.fft.rfft(pj, n=L, axis=-1)
+    full = jnp.fft.irfft(P * K, n=L, axis=-1)
+    return full[..., n_det - 1: 2 * n_det - 1]
+
+
+@partial(jax.jit, static_argnames=("g", "view_block", "flip"))
+def fbp_convert(pj: jnp.ndarray, g: FBPGeometry = SIEMENS_FBP,
+                view_block: int = 50, flip: bool = True) -> jnp.ndarray:
+    """FBP of [B, M, N] sinograms → [B, n, n] images (reference convert,
+    FBP_kernel.py:86-122)."""
+    B = pj.shape[0]
+    if flip:
+        pj = pj[:, :, ::-1]
+    # cosine weighting + Δθ scaling (FBP_kernel.py:104-105)
+    w = (g.D * np.cos(g.nda)).astype(np.float32)
+    dtheta = np.float32(g.theta[1] - g.theta[0])
+    pj = pj * w[None, None, :] * dtheta
+    pj = ramp_filter(pj, jnp.asarray(g.h_RL), g.N)
+
+    r = jnp.asarray(g.r)
+    phi = jnp.asarray(g.phi)
+    nda0 = np.float32(g.nda[0])
+    da = np.float32(g.da)
+    D = np.float32(g.D)
+    theta = jnp.asarray(g.theta, dtype=jnp.float32)
+
+    def bp_view_block(pj_blk, theta_blk):
+        # pj_blk: [B, vb, N]; theta_blk: [vb]
+        beta_blk = theta_blk - np.float32(np.pi / 2)
+
+        def one_view(pj_v, beta_v):
+            th = np.float32(np.pi / 2) + beta_v + phi
+            denom = D + r * jnp.cos(th)
+            alpha = jnp.arctan(r * jnp.sin(th) / denom)
+            pos = (alpha - nda0) / da + 0.5
+            curdet = jnp.floor(pos)
+            lam = pos - curdet
+            Lw = r * jnp.sin(th) / jnp.sin(alpha)
+            ci = curdet.astype(jnp.int32)
+            valid = (ci > 0) & (ci < g.N)
+            c0 = jnp.clip(ci - 1, 0, g.N - 1)
+            c1 = jnp.clip(ci, 0, g.N - 1)
+            v = ((1 - lam) * pj_v[:, c0] + lam * pj_v[:, c1]) / (Lw * Lw)
+            return jnp.where(valid[None], v, 0.0)  # [B, n, n]
+
+        return jax.vmap(one_view, in_axes=(1, 0))(pj_blk, beta_blk).sum(axis=0)
+
+    nb = g.M // view_block
+    assert nb * view_block == g.M
+    pj_b = pj.reshape(B, nb, view_block, g.N).transpose(1, 0, 2, 3)
+    th_b = theta.reshape(nb, view_block)
+    img = jax.lax.map(lambda args: bp_view_block(*args), (pj_b, th_b))
+    img = img.sum(axis=0)
+    if flip:
+        img = img[:, :, ::-1]
+    return img

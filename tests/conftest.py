@@ -1,0 +1,15 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh so sharding
+tests work without TPU hardware (the driver separately dry-runs multichip)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: global env sets 'axon'
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,161 @@
+"""CT physics tests: analytic LUT vs shipped binary, projector adjointness,
+sinogram sanity on a disk phantom, SART and FBP round-trips.
+
+All on a reduced fan-beam geometry (64² grid, 128 detectors, 180 views) —
+same math as the full Siemens geometry, CPU-budget friendly.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ipdm_tpu.recon import geometry as G
+from ipdm_tpu.recon import projector as P
+from ipdm_tpu.recon.fbp import FBPGeometry, fbp_convert
+from ipdm_tpu.recon.phantom import shepp_logan
+from ipdm_tpu.recon.sart import sart_reconstruct
+
+SMALL = G.FanBeamGeometry(
+    nx=64, ny=64, dx=42.0 / 64, dy=42.0 / 64, nr=128,
+    dr=0.0010125 * 912 / 128, na=180, ta_dimx=401, ta_dimy=91)
+LUT = jnp.asarray(G.area_lut(SMALL))
+BETAS = jnp.asarray((np.arange(SMALL.na) * (360.0 / SMALL.na)).astype(np.float32))
+XY = jnp.asarray(P.pixel_centers(SMALL)).reshape(-1, 2)
+
+
+def _disk(geom, radius_cm=8.0, value=1.0):
+    xy = P.pixel_centers(geom).reshape(geom.ny, geom.nx, 2)
+    r = np.sqrt((xy ** 2).sum(-1))
+    return (r < radius_cm).astype(np.float32) * value
+
+
+def test_analytic_lut_matches_reference_binary():
+    path = "/root/reference/Recon/Simens_alut.txt"
+    if not os.path.exists(path):
+        pytest.skip("reference LUT not available")
+    ref = np.fromfile(path, "float32").reshape(181, 1501)
+    mine = G.area_lut(G.SIEMENS)
+    np.testing.assert_allclose(mine, ref, atol=1e-9)
+
+
+def test_default_betas_match_reference_file():
+    path = "/root/reference/Recon/Simens_theta.txt"
+    if not os.path.exists(path):
+        pytest.skip("reference theta not available")
+    ref = np.fromfile(path, "float32")
+    np.testing.assert_allclose(G.default_betas(), ref, atol=2e-5)
+
+
+def test_footprint_areas_sum_to_voxel():
+    """Pixels inside the fan coverage: the 5 footprint areas sum to the full
+    pixel area. (Corner pixels beyond the detector fan correctly get 0.)"""
+    foot = P.footprint_for_angle(SMALL, LUT, XY, jnp.float32(33.0))
+    sums = np.asarray(foot.areas.sum(-1))
+    r = np.sqrt((np.asarray(XY) ** 2).sum(-1))
+    covered = r < SMALL.dso * np.sin(SMALL.rr) * 0.9
+    np.testing.assert_allclose(sums[covered], SMALL.vox_base, rtol=5e-3)
+
+
+def test_fp_bp_adjointness():
+    """⟨FP x, y⟩ = (1/dr)·⟨x, BP y⟩ (matched transpose pair by construction;
+    FP carries the geodiv factor)."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(SMALL.ny * SMALL.nx).astype(np.float32))
+    y = jnp.asarray(rng.rand(SMALL.nr).astype(np.float32))
+    foot = P.footprint_for_angle(SMALL, LUT, XY, jnp.float32(77.0))
+    fx = P.fp_one_angle(x, foot, SMALL)
+    bty = P.bp_one_angle(y, foot, SMALL)
+    lhs = float(jnp.vdot(fx, y))
+    rhs = float(jnp.vdot(x, bty)) / SMALL.dr
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
+def test_disk_sinogram_matches_chord_lengths():
+    """FP of a centered disk ≈ analytic fan-beam chord length, every view."""
+    R = 8.0
+    x = jnp.asarray(_disk(SMALL, R).reshape(-1))
+    betas = jnp.asarray([0.0, 45.0, 133.7], dtype=jnp.float32)
+    for b in betas:
+        foot = P.footprint_for_angle(SMALL, LUT, XY, b)
+        sino = np.asarray(P.fp_one_angle(x, foot, SMALL))
+        # analytic: ray at fan angle γ has distance |dso·sin γ| from center;
+        # chord = 2·sqrt(R² − d²)
+        s0 = -SMALL.rr + SMALL.offset_r * SMALL.dr
+        gamma = s0 + (np.arange(SMALL.nr) + 0.5) * SMALL.dr
+        d = np.abs(SMALL.dso * np.sin(gamma))
+        chord = 2 * np.sqrt(np.clip(R ** 2 - d ** 2, 0, None))
+        mask = chord > 4.0  # skip grazing rays (discretisation-noisy)
+        err = np.abs(sino[mask] - chord[mask]) / chord[mask]
+        assert err.mean() < 0.03, f"mean rel err {err.mean()} at beta={b}"
+
+
+def test_sinogram_rotation_symmetry():
+    """Centered disk: every view's projection is identical."""
+    x = jnp.asarray(_disk(SMALL, 6.0).reshape(-1))
+    f0 = P.footprint_for_angle(SMALL, LUT, XY, jnp.float32(0.0))
+    f1 = P.footprint_for_angle(SMALL, LUT, XY, jnp.float32(90.0))
+    s0 = np.asarray(P.fp_one_angle(x, f0, SMALL))
+    s1 = np.asarray(P.fp_one_angle(x, f1, SMALL))
+    np.testing.assert_allclose(s0, s1, atol=0.05 * s0.max())
+
+
+def test_sart_roundtrip_recovers_phantom():
+    """project → OS-SART → image close to the phantom."""
+    img = shepp_logan(SMALL.nx, scale=0.3)
+    proj = P.forward_project(jnp.asarray(img), SMALL, LUT, BETAS, block=18)
+    rec = sart_reconstruct(proj, SMALL, LUT, BETAS, nstart=10, ntv=0,
+                           nsubsets=18)
+    rec = np.asarray(rec)
+    rmse = np.sqrt(np.mean((rec - img) ** 2))
+    rng = img.max() - img.min()
+    psnr = 20 * np.log10(rng / rmse)
+    assert psnr > 19.0, f"SART roundtrip PSNR {psnr:.2f} dB"
+
+
+def test_sart_sequential_vs_os_close():
+    """nsubsets=na reproduces per-angle SART; OS with fewer subsets must land
+    near the same solution."""
+    img = shepp_logan(SMALL.nx, scale=0.3)
+    proj = P.forward_project(jnp.asarray(img), SMALL, LUT, BETAS, block=18)
+    rec_os = np.asarray(sart_reconstruct(proj, SMALL, LUT, BETAS, nstart=3,
+                                         nsubsets=18))
+    rec_seq = np.asarray(sart_reconstruct(proj, SMALL, LUT, BETAS, nstart=3,
+                                          nsubsets=180))
+    # both approximate img; they agree with each other to a few percent
+    denom = np.abs(img).max()
+    assert np.abs(rec_os - rec_seq).mean() / denom < 0.05
+
+
+def test_sart_tv_smooths():
+    img = shepp_logan(SMALL.nx, scale=0.3)
+    proj = P.forward_project(jnp.asarray(img), SMALL, LUT, BETAS, block=18)
+    noisy = proj + 0.5 * jax.random.normal(jax.random.PRNGKey(0), proj.shape)
+    rec0 = np.asarray(sart_reconstruct(noisy, SMALL, LUT, BETAS, nstart=4,
+                                       ntv=0, nsubsets=18))
+    rec_tv = np.asarray(sart_reconstruct(noisy, SMALL, LUT, BETAS, nstart=4,
+                                         ntv=10, nsubsets=18))
+    def tv(a):
+        return np.abs(np.diff(a, axis=0)).sum() + np.abs(np.diff(a, axis=1)).sum()
+    assert tv(rec_tv) < tv(rec0)
+
+
+FBP_SMALL = FBPGeometry(n_det=SMALL.nr, n_views=SMALL.na, grid_n=SMALL.nx,
+                        grid_l=21.0, os_=59.5, od=49.06, da=SMALL.dr,
+                        det_offset=3.75,
+                        view_step_deg=360.0 / SMALL.na)
+
+
+def test_fbp_roundtrip_recovers_phantom():
+    """project → FBP → image close to phantom (same orientation as SART)."""
+    img = shepp_logan(SMALL.nx, scale=0.3)
+    proj = P.forward_project(jnp.asarray(img), SMALL, LUT, BETAS, block=18)
+    rec = np.asarray(fbp_convert(proj[None], FBP_SMALL, view_block=18))[0]
+    # recons applies a transpose (PyAPI permute) — fbp output is in the same
+    # (transposed) frame; compare against img.T
+    rmse = np.sqrt(np.mean((rec - img.T) ** 2))
+    rng = img.max() - img.min()
+    psnr = 20 * np.log10(rng / rmse)
+    assert psnr > 20.0, f"FBP roundtrip PSNR {psnr:.2f} dB"

@@ -1,0 +1,133 @@
+"""UNet structural tests: shapes (incl. odd sinogram pyramid), GroupNorm group
+rule, timestep embedding, analytic parameter count."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ipdm_tpu.models.unet import (UNetModel, group_count, nearest_resize,
+                                  timestep_embedding)
+
+
+def test_group_count_rule():
+    assert group_count(64) == 32
+    assert group_count(4) == 4
+    assert group_count(8) == 8
+    assert group_count(48) == 24  # divisors of 48 nearest 32 → 24
+    assert group_count(33) == 33  # divisors {1,3,11,33} → 33
+
+
+def test_timestep_embedding_cos_sin_order():
+    t = jnp.asarray([3.0])
+    emb = np.asarray(timestep_embedding(t, 8))
+    half = 4
+    freqs = np.exp(-np.log(10000) * np.arange(half) / half)
+    args = 3.0 * freqs
+    np.testing.assert_allclose(emb[0, :half], np.cos(args), rtol=1e-5)
+    np.testing.assert_allclose(emb[0, half:], np.sin(args), rtol=1e-5)
+
+
+def test_nearest_resize_matches_torch_convention():
+    import torch
+    import torch.nn.functional as F
+    x = np.random.RandomState(0).rand(1, 13, 7, 2).astype(np.float32)
+    out = np.asarray(nearest_resize(jnp.asarray(x), (25, 13)))
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    want = F.interpolate(xt, size=(25, 13), mode="nearest").numpy()
+    np.testing.assert_allclose(out.transpose(0, 3, 1, 2), want, atol=1e-6)
+
+
+def _param_count(params):
+    return sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
+
+
+def _expected_params(model, in_ch):
+    """Independent analytic parameter count from the block plan."""
+    down, mid_ch, up, final_ch = model.plan()
+    mc = model.model_channels
+    ted = mc * 4
+    n = mc * ted + ted + ted * ted + ted  # time MLP
+
+    def gn(c):
+        return 2 * c
+
+    def conv(cin, cout, k=3):
+        return cin * cout * k * k + cout
+
+    def res(cin, cout):
+        p = gn(cin) + conv(cin, cout) + (ted * cout + cout) + gn(cout) \
+            + conv(cout, cout)
+        if cin != cout:
+            p += conv(cin, cout, 1)
+        return p
+
+    def attn(c):
+        return gn(c) + c * 3 * c + conv(c, c, 1)
+
+    for e in down:
+        if e[0] == "stem":
+            n += conv(in_ch, e[1])
+        elif e[0] == "res":
+            n += res(e[1], e[2]) + (attn(e[2]) if e[3] else 0)
+        else:
+            n += conv(e[1], e[1])
+    n += res(mid_ch, mid_ch) + attn(mid_ch) + res(mid_ch, mid_ch)
+    for (_, cin, cout, a, ups) in up:
+        n += res(cin, cout) + (attn(cout) if a else 0) \
+            + (conv(cout, cout) if ups else 0)
+    n += gn(final_ch) + conv(final_ch, model.out_channels)
+    return n
+
+
+def _init(model, shape):
+    x = jnp.zeros(shape, jnp.float32)
+    t = jnp.zeros((shape[0],), jnp.int32)
+    return model.init(jax.random.PRNGKey(0), x, t), x, t
+
+
+def test_img_unet_shape_and_params():
+    m = UNetModel(in_channels=1, out_channels=1, model_channels=8,
+                  attention_resolutions=(2,), channel_mult=(1, 1, 2, 2),
+                  num_heads=4)
+    params, x, t = _init(m, (1, 16, 16, 1))
+    out = m.apply(params, x, t)
+    assert out.shape == (1, 16, 16, 1)
+    assert _param_count(params) == _expected_params(m, 1)
+
+
+def test_proj_unet_odd_shapes():
+    """Fractional stem multiplier + odd-size down/up path, like the sinogram
+    model (2000×912 pyramid scaled down)."""
+    m = UNetModel(in_channels=1, out_channels=1, model_channels=8,
+                  attention_resolutions=(4,),
+                  channel_mult=(0.5, 1, 2, 2), num_heads=2)
+    params, x, t = _init(m, (1, 50, 23, 1))
+    out = m.apply(params, x, t)
+    assert out.shape == (1, 50, 23, 1)
+    assert _param_count(params) == _expected_params(m, 1)
+
+
+def test_unet_jit_and_grad():
+    m = UNetModel(in_channels=1, out_channels=1, model_channels=8,
+                  attention_resolutions=(), channel_mult=(1, 1, 2),
+                  num_heads=1)
+    params, x, t = _init(m, (2, 8, 8, 1))
+
+    @jax.jit
+    def loss_fn(p, x, t):
+        return jnp.mean(m.apply(p, x, t) ** 2)
+
+    g = jax.grad(loss_fn)(params, x + 1.0, t + 3)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(l)) for l in leaves)
+    assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+def test_bfloat16_forward():
+    m = UNetModel(in_channels=1, out_channels=1, model_channels=8,
+                  attention_resolutions=(2,), channel_mult=(1, 2),
+                  num_heads=2, dtype=jnp.bfloat16)
+    params, x, t = _init(m, (1, 8, 8, 1))
+    out = m.apply(params, x, t)
+    assert out.dtype == jnp.float32  # cast back at the head
+    assert np.all(np.isfinite(np.asarray(out)))
