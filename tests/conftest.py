@@ -10,6 +10,16 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+# jax may be pre-imported at interpreter startup (sitecustomize) with the
+# default 'axon' TPU platform baked into jax.config from the env at import
+# time — in that case the os.environ writes above come too late. Override
+# through jax.config directly (safe: the backend is not yet initialized at
+# conftest collection time, so the CPU platform + virtual device count take
+# effect).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
