@@ -56,6 +56,13 @@ class IPDMConfig:
     ntv: int = 0
     normal: bool = False
     ultra_img_denoise: bool = True
+    test_result_data_save: bool = False
+    benchmark_test: bool = False
+    metrics: List[str] = _lst("psnr", "ssim", "fsim", "vif", "nqm")
+    fbp_sharpen: bool = False
+    ntv: int = 0
+    normal: bool = False
+    ultra_img_denoise: bool = True
 
     # section: img model cfg  (reference default_config.py:61-100)
     in_channels_img: int = 1
@@ -114,6 +121,10 @@ class IPDMConfig:
     dose: float = 0.25
 
     # section: TPU-native extensions (absent in reference)
+    geometry: Optional[dict] = None  # FanBeamGeometry field overrides
+    #   (nx, ny, dx, dy, nr, dr, offset_r, na, ta_dimx, ta_dimy, ...);
+    #   None = the Siemens 512²/2000×912 geometry. The FBP geometry derives
+    #   from the same overrides.
     compute_dtype: str = "float32"  # 'float32' | 'bfloat16' UNet activations
     mesh_shape: Optional[List[int]] = None  # data-parallel mesh, None = all devices
     sart_subsets: int = 40  # ordered-subset count for OS-SART (2000 % subsets == 0)

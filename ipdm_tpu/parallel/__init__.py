@@ -1,0 +1,11 @@
+"""Mesh parallelism: data-parallel training + view-sharded CT physics."""
+
+from ipdm_tpu.parallel.mesh import (batch_sharding, make_mesh,
+                                    make_sharded_train_step,
+                                    make_view_sharded_fbp,
+                                    make_view_sharded_fp, replicated,
+                                    shard_batch)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch",
+           "make_sharded_train_step", "make_view_sharded_fbp",
+           "make_view_sharded_fp"]

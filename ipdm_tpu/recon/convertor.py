@@ -58,6 +58,17 @@ def project(volume: jnp.ndarray, geom: FanBeamGeometry = SIEMENS,
     return forward_project_batch(volume, geom, lut, betas)
 
 
+def fbp_geom_from_fan(geom: FanBeamGeometry) -> FBPGeometry:
+    """Derive the FBP geometry from a FanBeamGeometry (same scanner seen
+    through the FBP code's parameterisation; det_offset flips sign because
+    the FBP path flips the detector axis — FBP_kernel.py:41,99)."""
+    return FBPGeometry(n_det=geom.nr, n_views=geom.na, grid_n=geom.nx,
+                       grid_l=geom.nx * geom.dx / 2.0, os_=geom.dso,
+                       od=geom.dsd - geom.dso, da=geom.dr,
+                       det_offset=-geom.offset_r,
+                       view_step_deg=360.0 / geom.na)
+
+
 class Convertor:
     """Callable convertor bundle the orchestrator uses: `.convert(pj)` maps
     [B, na, nr] → [B, n, n] with either FBP or ART
@@ -66,11 +77,16 @@ class Convertor:
 
     def __init__(self, kind: str, ntv: int = 0, nstart: int = 10,
                  nsubsets: int = 40, geom: FanBeamGeometry = SIEMENS,
-                 fbp_geom: FBPGeometry = SIEMENS_FBP):
+                 fbp_geom: Optional[FBPGeometry] = None):
         assert kind in ("FBP", "ART", "TV")
         self.kind = kind
         self.geom = geom
+        if fbp_geom is None:
+            fbp_geom = (SIEMENS_FBP if geom is SIEMENS
+                        else fbp_geom_from_fan(geom))
         self.fbp_geom = fbp_geom
+        while nsubsets > 1 and geom.na % nsubsets:
+            nsubsets -= 1
         self.lut = jnp.asarray(area_lut(geom))
         self.betas = jnp.asarray(default_betas(geom))
         self.ntv = ntv if kind != "TV" else max(ntv, 1)

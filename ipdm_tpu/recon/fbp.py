@@ -125,8 +125,9 @@ def fbp_convert(pj: jnp.ndarray, g: FBPGeometry = SIEMENS_FBP,
 
         return jax.vmap(one_view, in_axes=(1, 0))(pj_blk, beta_blk).sum(axis=0)
 
+    while view_block > 1 and g.M % view_block:
+        view_block -= 1
     nb = g.M // view_block
-    assert nb * view_block == g.M
     pj_b = pj.reshape(B, nb, view_block, g.N).transpose(1, 0, 2, 3)
     th_b = theta.reshape(nb, view_block)
     img = jax.lax.map(lambda args: bp_view_block(*args), (pj_b, th_b))

@@ -193,8 +193,9 @@ def forward_project(x: jnp.ndarray, geom: FanBeamGeometry, lut: jnp.ndarray,
         foot = footprint_for_angle(geom, lut, xy, beta_deg)
         return fp_one_angle(x_flat, foot, geom)
 
+    while block > 1 and geom.na % block:
+        block -= 1
     nb = geom.na // block
-    assert nb * block == geom.na, "block must divide na"
     betas_b = betas.reshape(nb, block)
     proj = jax.lax.map(lambda b: jax.vmap(one)(b), betas_b)
     return proj.reshape(geom.na, geom.nr)
