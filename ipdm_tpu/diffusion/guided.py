@@ -133,6 +133,102 @@ _PROJ_ADAPTIVE = {"high": ([30, 25, 20], 0.6),
                   "low": ([15, 15, 15], 0.5)}
 
 
+class ProbeSpec(NamedTuple):
+    """Static config of the fused probe iteration (iter 0, cosine lambda)."""
+    ts: int
+    mode: str
+    clip: bool
+    lambda_ratio: float
+    kernel_size: int
+    amplitude: float
+    curve: object          # LambdaCurve (static by identity)
+
+
+class RestSpec(NamedTuple):
+    """Static config of the fused multi-iteration pass."""
+    ts_list: Tuple[int, ...]
+    mode: str
+    clip: bool
+    eta: float
+    lambda_kind: str       # 'constant' | 'map'
+    constant_guidance: float = 0.0
+    has_ldct: bool = False
+
+
+def _one_iteration(model_fn, gd, ts: int, mode: str, clip: bool,
+                   lam_fn, x, guidance, rng):
+    """q_sample to ts, reverse-scan to 0, post-clamp - one outer iteration,
+    fully traced (no host dispatch boundaries)."""
+    B = x.shape[0]
+    rng, k_noise, k_scan = jax.random.split(rng, 3)
+    noise = jax.random.normal(k_noise, x.shape, x.dtype)
+    t_vec = jnp.full((B,), ts, dtype=jnp.int32)
+    x = gd.q_sample(x, t_vec, noise)
+
+    def step(carry, i):
+        xc, r = carry
+        r, sub = jax.random.split(r)
+        lam = lam_fn(i)
+        t = jnp.full((B,), i, dtype=jnp.int32)
+        xc = gd.p_sample_condition(model_fn, xc, guidance, t, sub,
+                                   clip_denoised=clip, lambda_=lam)
+        return (xc, r), None
+
+    (x, _), _ = jax.lax.scan(step, (x, k_scan),
+                             jnp.arange(ts - 1, -1, -1))
+    if clip:
+        x = jnp.clip(x, 0.0, 1.0) if mode == "img" else jnp.maximum(x, 0.0)
+    return x
+
+
+@partial(jax.jit, static_argnames=("model_fn", "gd", "spec"))
+def fused_probe(model_fn: Callable, gd: GaussianDiffusion, spec: ProbeSpec,
+                x0: jnp.ndarray, rng) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                               jnp.ndarray]:
+    """Iter-0 probe: cosine-lambda guided pass + residual lambda-map, one
+    dispatch. Returns (probe_result, delt_map, delt_max)."""
+    cos_table = jnp.asarray(
+        cosine_beta_schedule(spec.ts, schedule_power=spec.lambda_ratio),
+        dtype=jnp.float32)
+    x = _one_iteration(model_fn, gd, spec.ts, spec.mode, spec.clip,
+                       lambda i: cos_table[i], x0, x0, rng)
+    delt, dmax = _compute_delt(x, x0, spec.mode, spec.kernel_size,
+                               spec.amplitude, spec.curve)
+    if dmax is None:
+        dmax = jnp.zeros(())
+    return x, delt, dmax
+
+
+@partial(jax.jit, static_argnames=("model_fn", "gd", "spec"))
+def fused_iters(model_fn: Callable, gd: GaussianDiffusion, spec: RestSpec,
+                x_init: jnp.ndarray, x0: jnp.ndarray, guidance: jnp.ndarray,
+                delt_map: jnp.ndarray, ldct: jnp.ndarray, rng
+                ) -> List[jnp.ndarray]:
+    """All remaining outer iterations in ONE dispatch (unrolled over the
+    static ts_list; each iteration is a lax.scan). Mirrors the reference
+    guidance-update schedule (model.py:622-635)."""
+    results = []
+    x = x_init
+    for it, ts in enumerate(spec.ts_list):
+        if spec.lambda_kind == "constant":
+            lam_fn = lambda i: jnp.float32(spec.constant_guidance)
+        else:
+            lam_fn = (lambda ts_: lambda i: nearest_upsample(
+                condition_lambda_map(delt_map, i, ts_),
+                (x0.shape[1], x0.shape[2])))(int(ts))
+        rng, k = jax.random.split(rng)
+        x = _one_iteration(model_fn, gd, int(ts), spec.mode, spec.clip,
+                           lam_fn, x, guidance, k)
+        results.append(x)
+        # guidance update for the next iteration
+        if spec.mode == "proj":
+            guidance = spec.eta * x + (1 - spec.eta) * x0
+        else:
+            base = ldct if spec.has_ldct else x0
+            guidance = (spec.eta * x + (0.95 - spec.eta) * x0 + 0.05 * base)
+    return results
+
+
 def guided_reverse_process(model_fn: Callable, gd: GaussianDiffusion,
                            img: jnp.ndarray, rng, t_start=None,
                            clip: bool = True, lambda_ratio: float = 1,
@@ -148,85 +244,73 @@ def guided_reverse_process(model_fn: Callable, gd: GaussianDiffusion,
     """Iterative guided reverse process (reference model.py:518-642).
 
     img: condition input [B,H,W,C] (NHWC). Returns (img_iters, reverse_states,
-    noise_strength) like the reference. The Python-level outer loop runs 3-4
-    iterations, each one jitted scan; adaptive mode syncs one scalar after the
-    probe iteration.
+    noise_strength) like the reference.
+
+    Dispatch budget (the TPU-native redesign): the whole multi-iteration
+    process is at most TWO device programs - a fused probe (iter 0 +
+    lambda-map) and a fused pass over all remaining iterations - instead of
+    the reference's per-step kernel launches + host numpy round-trips. Only
+    the adaptive *proj* mode reads one scalar (delt max) back between the
+    two dispatches.
     """
     if only_convertor:
         return [img], None, None
     adaptive = t_start is None
-    t_start_list = list(t_start) if t_start is not None else [20]
-    img_with_noise = img
-    imgs = img
-    img_iters: List[jnp.ndarray] = []
-    delt_map = jnp.zeros_like(avg_pool(img, kernel_size))
-    iters = 0
-    B = img.shape[0]
     out_noise_strength = None
+    zero_delt = jnp.zeros_like(avg_pool(img, kernel_size))
+    ldct_arr = ldct if ldct is not None else img
 
-    while t_start_list:
-        ts = int(t_start_list.pop(0))
-        rng, k_noise, k_scan = jax.random.split(rng, 3)
-        noise = jax.random.normal(k_noise, img.shape, img.dtype)
-        t_vec = jnp.full((B,), ts, dtype=jnp.int32)
-        img_with_noise = gd.q_sample(img_with_noise, t_vec, noise)
-
-        if constant_guidance is not None:
-            kind = "constant"
-        elif iters == 0:
-            kind = "cosine"
-        else:
-            kind = "map"
-        spec = GuidanceSpec(ts=ts, mode=mode, clip=clip, lambda_kind=kind,
-                            constant_guidance=float(constant_guidance or 0.0),
-                            lambda_ratio=float(lambda_ratio))
-        img_with_noise = guided_reverse_scan(model_fn, gd, spec,
-                                             img_with_noise, imgs, delt_map,
-                                             k_scan)
-
-        if iters == 0 and constant_guidance is None:
-            delt_map, dmax = _compute_delt(img_with_noise, img, mode,
-                                           kernel_size, amplitude,
-                                           lambda_curve)
-            if adaptive:
-                if mode == "img":
-                    sched, eta, _ls = _IMG_ADAPTIVE[noise_strength]
-                    t_start_list = list(sched)
+    if constant_guidance is not None:
+        # all iterations constant-lambda: no probe, x carries across iters
+        rng, k = jax.random.split(rng)
+        spec = RestSpec(ts_list=tuple(int(t) for t in (t_start or [20])),
+                        mode=mode, clip=clip, eta=float(eta),
+                        lambda_kind="constant",
+                        constant_guidance=float(constant_guidance),
+                        has_ldct=ldct is not None)
+        img_iters = fused_iters(model_fn, gd, spec, img, img, img,
+                                zero_delt, ldct_arr, k)
+    else:
+        # probe iteration (cosine lambda) + schedule choice + map-lambda rest
+        probe_ts = 20 if adaptive else int(t_start[0])
+        rng, k_probe = jax.random.split(rng)
+        pspec = ProbeSpec(ts=probe_ts, mode=mode, clip=clip,
+                          lambda_ratio=float(lambda_ratio),
+                          kernel_size=int(kernel_size),
+                          amplitude=float(amplitude), curve=lambda_curve)
+        probe_x, delt_map, dmax = fused_probe(model_fn, gd, pspec, img,
+                                              k_probe)
+        if adaptive:
+            if mode == "img":
+                sched, eta, _ls = _IMG_ADAPTIVE[noise_strength]
+            else:
+                dmax_f = float(dmax)  # the one host sync per slice
+                if dmax_f >= 30:
+                    out_noise_strength = "high"
+                elif dmax_f >= 4.5:
+                    out_noise_strength = "mid"
                 else:
-                    dmax = float(dmax)  # one host sync per slice
-                    if dmax >= 30:
-                        cls = "high"
-                    elif dmax >= 4.5:
-                        cls = "mid"
-                    else:
-                        cls = "low"
-                    sched, eta = _PROJ_ADAPTIVE[cls]
-                    t_start_list = list(sched)
-                    out_noise_strength = cls
-
-        img_iters.append(img_with_noise)
-
-        # guidance update (model.py:622-635)
-        def update_guidance(x):
-            if mode == "proj":
-                return eta * x + (1 - eta) * img
-            return eta * x + (0.95 - eta) * img + 0.05 * (
-                ldct if ldct is not None else img)
-
-        if constant_guidance is None:
-            if iters >= 1:
-                imgs = update_guidance(img_with_noise)
-            if iters == 0:
-                img_with_noise = img  # probe restart (model.py:629-630)
+                    out_noise_strength = "low"
+                sched, eta = _PROJ_ADAPTIVE[out_noise_strength]
         else:
-            imgs = update_guidance(img_with_noise)
-        iters += 1
+            sched = [int(t) for t in t_start[1:]]
+        rng, k_rest = jax.random.split(rng)
+        spec = RestSpec(ts_list=tuple(sched), mode=mode, clip=clip,
+                        eta=float(eta), lambda_kind="map",
+                        has_ldct=ldct is not None)
+        # probe restart (model.py:629-630): the rest starts from the clean
+        # condition with guidance = clean condition (imgs only updates from
+        # iteration 1 onward)
+        rest = fused_iters(model_fn, gd, spec, img, img, img, delt_map,
+                           ldct_arr, k_rest) if sched else []
+        img_iters = [probe_x] + rest
 
     if len(img_iters) > 1:
         img_iters.append((img_iters[-1] + img_iters[-2]) / 2)
     if adaptive:
         img_iters = img_iters[1:]  # drop the probe iteration
     return img_iters, None, out_noise_strength
+
 
 
 # ---------------------------------------------------------------------------
