@@ -45,7 +45,8 @@ def main():
     from ipdm_tpu.diffusion.guided import guided_reverse_process
     from ipdm_tpu.models.unet import UNetModel
     from ipdm_tpu.ops.sharpen import tensor_sharpen
-    from ipdm_tpu.recon.fbp import SIEMENS_FBP, fbp_convert
+    from ipdm_tpu.recon.fbp import SIEMENS_FBP
+    from ipdm_tpu.recon.fbp_fast import fbp_convert_fast as fbp_convert
 
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")

@@ -130,6 +130,8 @@ class IPDMConfig:
     sart_subsets: int = 40  # ordered-subset count for OS-SART (2000 % subsets == 0)
     sart_nstart: int = 10  # outer SART sweeps (reference nstart=10)
     use_pallas: bool = True  # Pallas fast path for projector/FBP kernels
+    exact_fbp: bool = False  # force the reference-faithful direct fan BP
+    #   (slow on TPU) instead of the rebinned slice-gather fast path
     seed: int = 0
     max_iter: int = 0  # derived at runtime (train)
     resume_iter: int = 0  # derived at runtime (train)

@@ -262,7 +262,7 @@ class ProgressiveDomainDenoiser:
         self.convertor = Convertor(convertor, ntv=self.opt.ntv,
                                    nstart=self.opt.sart_nstart,
                                    nsubsets=self.opt.sart_subsets,
-                                   geom=geom)
+                                   geom=geom, exact_fbp=self.opt.exact_fbp)
 
     def _init_training(self):
         opt = self.opt

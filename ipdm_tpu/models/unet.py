@@ -62,15 +62,30 @@ class GN(nn.Module):
                             param_dtype=jnp.float32)(x)
 
 
+def _onehot_resize_matrix(src: int, dst: int) -> np.ndarray:
+    """[dst, src] one-hot selecting floor(d·src/dst) — torch
+    F.interpolate(mode='nearest') index convention."""
+    idx = (np.arange(dst) * src // dst).astype(np.int64)
+    m = np.zeros((dst, src), np.float32)
+    m[np.arange(dst), idx] = 1.0
+    return m
+
+
 def nearest_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     """Nearest-neighbour resize of NHWC x to spatial `size` using the
     floor(dst·in/out) index convention of torch F.interpolate(mode='nearest')
     (used by reference Upsample, model.py:160-171), so the up path matches the
-    reference exactly even at odd sinogram shapes."""
+    reference exactly even at odd sinogram shapes.
+
+    Implemented as two constant one-hot matmuls instead of gathers: on TPU,
+    arbitrary-index gathers take a scalar path (~10 ns/element — measured to
+    dominate the whole sinogram UNet), while the equivalent one-hot
+    contraction runs on the MXU."""
     H, W = x.shape[1], x.shape[2]
-    h_idx = (np.arange(size[0]) * H // size[0]).astype(np.int32)
-    w_idx = (np.arange(size[1]) * W // size[1]).astype(np.int32)
-    return x[:, h_idx][:, :, w_idx]
+    mh = jnp.asarray(_onehot_resize_matrix(H, size[0]), dtype=x.dtype)
+    mw = jnp.asarray(_onehot_resize_matrix(W, size[1]), dtype=x.dtype)
+    x = jnp.einsum("dh,bhwc->bdwc", mh, x)
+    return jnp.einsum("ew,bdwc->bdec", mw, x)
 
 
 class ResidualBlock(nn.Module):

@@ -43,9 +43,17 @@ def nearest_upsample(x: jnp.ndarray, size) -> jnp.ndarray:
     if size[0] % H == 0 and size[1] % W == 0:
         x = jnp.repeat(x, size[0] // H, axis=1)
         return jnp.repeat(x, size[1] // W, axis=2)
-    h_idx = (jnp.arange(size[0]) * H // size[0]).astype(jnp.int32)
-    w_idx = (jnp.arange(size[1]) * W // size[1]).astype(jnp.int32)
-    return x[:, h_idx][:, :, w_idx]
+    # non-multiple sizes: constant one-hot matmuls (MXU) — arbitrary-index
+    # gathers take TPU's scalar path and this runs inside the reverse scan
+    import numpy as np
+    hi = (np.arange(size[0]) * H // size[0]).astype(np.int64)
+    wi = (np.arange(size[1]) * W // size[1]).astype(np.int64)
+    mh = np.zeros((size[0], H), np.float32)
+    mh[np.arange(size[0]), hi] = 1.0
+    mw = np.zeros((size[1], W), np.float32)
+    mw[np.arange(size[1]), wi] = 1.0
+    x = jnp.einsum("dh,bhwc->bdwc", jnp.asarray(mh, x.dtype), x)
+    return jnp.einsum("ew,bdwc->bdec", jnp.asarray(mw, x.dtype), x)
 
 
 def avg_pool(x: jnp.ndarray, k: int) -> jnp.ndarray:

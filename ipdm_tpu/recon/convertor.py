@@ -77,7 +77,8 @@ class Convertor:
 
     def __init__(self, kind: str, ntv: int = 0, nstart: int = 10,
                  nsubsets: int = 40, geom: FanBeamGeometry = SIEMENS,
-                 fbp_geom: Optional[FBPGeometry] = None):
+                 fbp_geom: Optional[FBPGeometry] = None,
+                 exact_fbp: bool = False):
         assert kind in ("FBP", "ART", "TV")
         self.kind = kind
         self.geom = geom
@@ -85,6 +86,10 @@ class Convertor:
             fbp_geom = (SIEMENS_FBP if geom is SIEMENS
                         else fbp_geom_from_fan(geom))
         self.fbp_geom = fbp_geom
+        # fast FBP = rebin-to-parallel slice-gather path (recon.fbp_fast),
+        # ~20× the direct fan BP on TPU; exact_fbp forces the
+        # reference-faithful direct path (golden parity runs)
+        self.exact_fbp = exact_fbp
         while nsubsets > 1 and geom.na % nsubsets:
             nsubsets -= 1
         self.lut = jnp.asarray(area_lut(geom))
@@ -95,7 +100,10 @@ class Convertor:
 
     def convert(self, pj: jnp.ndarray) -> jnp.ndarray:
         if self.kind == "FBP":
-            return fbp_convert(pj, self.fbp_geom)
+            if self.exact_fbp:
+                return fbp_convert(pj, self.fbp_geom)
+            from ipdm_tpu.recon.fbp_fast import fbp_convert_fast
+            return fbp_convert_fast(pj, self.fbp_geom)
         return recons(pj, self.geom, self.lut, self.betas,
                       nstart=self.nstart, ntv=self.ntv,
                       nsubsets=self.nsubsets, permute=True)
