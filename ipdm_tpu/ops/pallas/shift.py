@@ -1,0 +1,182 @@
+"""Pallas TPU kernels: per-row dynamic-slice shift/accumulate primitives.
+
+These are the hot inner kernels of the fast CT reconstructors
+(recon.fbp_fast backprojection, recon.sart_fast FP/BP). The access pattern —
+for every image row, read/write a contiguous window of a per-view resampled
+signal at a *data-dependent per-row offset* — cannot be expressed as an XLA
+gather without falling onto the TPU's scalar gather path (~10 ns/element,
+measured); in Pallas it is exactly `ref[pl.ds(start, n)]` with the starts
+staged through SMEM.
+
+Each grid step processes a block of VB=8 views (TPU block shapes need the
+second-to-last dim divisible by 8); callers pad the view count to 8·k.
+
+`bp_shift_accumulate(Q2, s0, s1, frac, n)`:
+    out[y, j] = Σ_v (1−frac[v,y])·Q2[v, s0[v,y]+j] + frac[v,y]·Q2[v, s1[v,y]+j]
+    — the backprojection accumulate over a group of views. Grid over view
+    blocks, output block revisited (accumulated) every step.
+
+`fp_shift_deposit(rows, s0, s1, w0, w1, L)`:
+    out[v, s0[v,y]+j] += w0[v,y]·rows[y,j]  (and the s1/w1 tap) for every row
+    y — the forward-projection shear deposit; per-view independent outputs.
+
+Both fall back to interpreter mode off-TPU (used by the CPU test suite).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+VB = 8  # views per grid step
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def pad_views(*arrays, axis: int = 0):
+    """Pad the view axis of each array up to a multiple of VB (zeros)."""
+    V = arrays[0].shape[axis]
+    rem = (-V) % VB
+    if rem == 0:
+        return arrays
+    out = []
+    for a in arrays:
+        pads = [(0, 0)] * a.ndim
+        pads[axis] = (0, rem)
+        out.append(jnp.pad(a, pads))
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# BP: shift rows out of per-view signals, accumulate over views
+# ---------------------------------------------------------------------------
+
+
+def _shifted_window(q_ref, v, start, n):
+    """Read q_ref[v, start : start+n] where start is unaligned: aligned
+    128-base dynamic slice + dynamic lane roll (Mosaic requires lane-dim
+    dynamic slice offsets to be 128-aligned)."""
+    a_al = (start // 128) * 128
+    rem = start - a_al
+    r = q_ref[pl.ds(v, 1), pl.ds(a_al, n + 128)]          # [1, n+128]
+    r = pltpu.roll(r, shift=(n + 128) - rem, axis=1)      # left-shift by rem
+    return r[0, :n]
+
+
+def _bp_kernel(s0_ref, s1_ref, frac_ref, q_ref, out_ref):
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    n = out_ref.shape[0]
+
+    def body(i, _):
+        v = i // n
+        y = i % n
+        f = frac_ref[v, y]
+        r0 = _shifted_window(q_ref, v, s0_ref[v, y], n)
+        r1 = _shifted_window(q_ref, v, s1_ref[v, y], n)
+        cur = out_ref[pl.ds(y, 1), :]
+        out_ref[pl.ds(y, 1), :] = cur + ((1.0 - f) * r0 + f * r1)[None, :]
+        return 0
+
+    jax.lax.fori_loop(0, VB * n, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "interpret"))
+def bp_shift_accumulate(Q2: jnp.ndarray, s0: jnp.ndarray, s1: jnp.ndarray,
+                        frac: jnp.ndarray, n: int,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Q2: [V, L]; s0, s1: [V, n] int32 in [0, L−n]; frac: [V, n] (set
+    frac=0 on padded views). V must be a multiple of VB (see pad_views).
+    Returns [n, n] = Σ_v two-tap row shifts."""
+    V, L = Q2.shape
+    assert V % VB == 0
+    return pl.pallas_call(
+        _bp_kernel,
+        grid=(V // VB,),
+        in_specs=[
+            pl.BlockSpec((VB, n), lambda v: (v, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((VB, n), lambda v: (v, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((VB, n), lambda v: (v, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((VB, L), lambda v: (v, 0)),
+        ],
+        out_specs=pl.BlockSpec((n, n), lambda v: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, n), Q2.dtype),
+        interpret=interpret or not _on_tpu(),
+    )(s0, s1, frac, Q2)
+
+
+# ---------------------------------------------------------------------------
+# FP: deposit rows into per-view signals at per-row offsets
+# ---------------------------------------------------------------------------
+
+
+def _fp_kernel(s0_ref, s1_ref, w0_ref, w1_ref, rows_ref, out_ref):
+    n, W = rows_ref.shape
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+    def deposit(v, start, vals):
+        # vals: [1, W+128] with data in [:W]; write at unaligned start via
+        # aligned base + right roll (tail zeros rotate into the gap)
+        a_al = (start // 128) * 128
+        rem = start - a_al
+        rolled = pltpu.roll(vals, shift=rem, axis=1)
+        cur = out_ref[pl.ds(v, 1), pl.ds(a_al, W + 128)]
+        out_ref[pl.ds(v, 1), pl.ds(a_al, W + 128)] = cur + rolled
+
+    def body(i, _):
+        v = i // n
+        y = i % n
+        row = rows_ref[pl.ds(y, 1), :]                    # [1, W]
+        z = jnp.zeros((1, 128), row.dtype)
+        padded = jnp.concatenate([row, z], axis=1)        # [1, W+128]
+        deposit(v, s0_ref[v, y], w0_ref[v, y] * padded)
+        deposit(v, s1_ref[v, y], w1_ref[v, y] * padded)
+        return 0
+
+    jax.lax.fori_loop(0, VB * n, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "interpret"))
+def fp_shift_deposit(rows: jnp.ndarray, s0: jnp.ndarray, s1: jnp.ndarray,
+                     w0: jnp.ndarray, w1: jnp.ndarray, L: int,
+                     interpret: bool = False) -> jnp.ndarray:
+    """rows: [n, W] (driven orientation; W = deposit width, e.g. n·Kf for
+    zero-stuffed rows); s0, s1: [V, n] int32 in [0, L−W]; w0, w1: [V, n]
+    (zero weights on padded views). Returns [V, L] per-view signals."""
+    V = s0.shape[0]
+    n, W = rows.shape
+    assert V % VB == 0
+    return pl.pallas_call(
+        _fp_kernel,
+        grid=(V // VB,),
+        in_specs=[
+            pl.BlockSpec((VB, n), lambda v: (v, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((VB, n), lambda v: (v, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((VB, n), lambda v: (v, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((VB, n), lambda v: (v, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, W), lambda v: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((VB, L), lambda v: (v, 0)),
+        out_shape=jax.ShapeDtypeStruct((V, L), rows.dtype),
+        interpret=interpret or not _on_tpu(),
+    )(s0, s1, w0, w1, rows)

@@ -78,7 +78,7 @@ class Convertor:
     def __init__(self, kind: str, ntv: int = 0, nstart: int = 10,
                  nsubsets: int = 40, geom: FanBeamGeometry = SIEMENS,
                  fbp_geom: Optional[FBPGeometry] = None,
-                 exact_fbp: bool = False):
+                 exact_fbp: bool = False, exact_art: bool = False):
         assert kind in ("FBP", "ART", "TV")
         self.kind = kind
         self.geom = geom
@@ -90,6 +90,9 @@ class Convertor:
         # ~20× the direct fan BP on TPU; exact_fbp forces the
         # reference-faithful direct path (golden parity runs)
         self.exact_fbp = exact_fbp
+        # fast ART = rebinned-parallel OS-SART (recon.sart_fast); exact_art
+        # forces the fan-beam footprint SART (recon.sart) for parity runs
+        self.exact_art = exact_art
         while nsubsets > 1 and geom.na % nsubsets:
             nsubsets -= 1
         self.lut = jnp.asarray(area_lut(geom))
@@ -104,9 +107,13 @@ class Convertor:
                 return fbp_convert(pj, self.fbp_geom)
             from ipdm_tpu.recon.fbp_fast import fbp_convert_fast
             return fbp_convert_fast(pj, self.fbp_geom)
-        return recons(pj, self.geom, self.lut, self.betas,
-                      nstart=self.nstart, ntv=self.ntv,
-                      nsubsets=self.nsubsets, permute=True)
+        if self.exact_art:
+            return recons(pj, self.geom, self.lut, self.betas,
+                          nstart=self.nstart, ntv=self.ntv,
+                          nsubsets=self.nsubsets, permute=True)
+        from ipdm_tpu.recon.sart_fast import sart_fast_convert
+        return sart_fast_convert(pj, self.fbp_geom, nstart=self.nstart,
+                                 ntv=self.ntv, nsubsets=self.nsubsets)
 
     def project(self, volume: jnp.ndarray) -> jnp.ndarray:
         return project(volume, self.geom, self.lut, self.betas)

@@ -118,10 +118,10 @@ class _FastPlan:
 _PLANS = {}
 
 
-def _plan_for(g: FBPGeometry) -> _FastPlan:
-    k = (g.N, g.M, g.grid_n, g.grid_l, g.D, g.da)
+def _plan_for(g: FBPGeometry, oversample: float = 2.0) -> _FastPlan:
+    k = (g.N, g.M, g.grid_n, g.grid_l, g.D, g.da, oversample)
     if k not in _PLANS:
-        _PLANS[k] = _FastPlan(g)
+        _PLANS[k] = _FastPlan(g, oversample=oversample)
     return _PLANS[k]
 
 
