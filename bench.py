@@ -103,15 +103,16 @@ def main():
     # --- warmup (compile) -------------------------------------------------
     t0 = time.time()
     out = one_slice(jax.random.PRNGKey(1))
-    out.block_until_ready()
+    _ = float(out.sum())   # full drain: block_until_ready is not reliable
+    #                        for every buffer type through the axon relay
     log(f"warmup (compile): {time.time()-t0:.1f}s")
 
-    # --- timed ------------------------------------------------------------
-    n = 3
+    # --- timed (scalar readback per slice forces completion) ---------------
+    n = 4
     t0 = time.time()
     for i in range(n):
         out = one_slice(jax.random.PRNGKey(2 + i))
-    out.block_until_ready()
+        _ = float(out.sum())
     dt = (time.time() - t0) / n
     slices_per_sec = 1.0 / dt
     log(f"{dt:.2f} s/slice, {slices_per_sec:.3f} slices/sec/chip")
