@@ -82,14 +82,19 @@ def main():
     ld_proj = jnp.asarray(host.random((1, 2000, 912, 1), np.float32) * 4.0)
     ld_img = jnp.asarray(host.random((1, 512, 512, 1), np.float32) * 0.3)
 
-    def one_slice(rng):
+    def one_slice(rng, verbose=False):
         # projection stage: 3 × 15 reverse steps, constant guidance
         rng, k = jax.random.split(rng)
         proj_iters, _, _ = guided_reverse_process(
             proj_fn, gd_proj, ld_proj, k, t_start=[15, 15, 15],
             clip=False, eta=0.4, mode="proj", constant_guidance=0.5)
+        if verbose:
+            log(f"proj stage dispatched {time.time()-t0:.0f}s")
         # convert each kept iteration (reference proj_denoiser :465)
         imgs = [fbp_convert(p[..., 0], SIEMENS_FBP) for p in proj_iters]
+        if verbose:
+            jax.block_until_ready(imgs)
+            log(f"converts done {time.time()-t0:.0f}s")
         x = imgs[-1][..., None]
         x = tensor_sharpen(x, 70)
         # image stage: 3 × 15 reverse steps
@@ -102,7 +107,7 @@ def main():
 
     # --- warmup (compile) -------------------------------------------------
     t0 = time.time()
-    out = one_slice(jax.random.PRNGKey(1))
+    out = one_slice(jax.random.PRNGKey(1), verbose=True)
     _ = float(out.sum())   # full drain: block_until_ready is not reliable
     #                        for every buffer type through the axon relay
     log(f"warmup (compile): {time.time()-t0:.1f}s")

@@ -42,3 +42,25 @@ def miu_phantom(n: int = 512) -> np.ndarray:
     """Phantom scaled to plausible attenuation coefficients (μ ≈ 0-0.36,
     water 0.183 — matching the dataset's μ maps)."""
     return shepp_logan(n, scale=0.36)
+
+
+def random_ellipse_phantom(n: int, rng: "np.random.Generator",
+                           n_ellipses: int = 8) -> np.ndarray:
+    """Random anatomy-like phantom: a body ellipse plus n_ellipses random
+    inclusions, scaled to attenuation coefficients (μ ≈ 0-0.36). Used to
+    synthesise training corpora when no CT data ships with the repo."""
+    y, x = np.meshgrid(np.linspace(-1, 1, n), np.linspace(-1, 1, n),
+                       indexing="ij")
+    img = np.zeros((n, n), np.float64)
+    # body
+    img[(x / 0.85) ** 2 + (y / 0.92) ** 2 <= 1.0] = 1.0
+    for _ in range(n_ellipses):
+        a, b = rng.uniform(0.05, 0.4, 2)
+        x0, y0 = rng.uniform(-0.5, 0.5, 2)
+        th = rng.uniform(0, np.pi)
+        inten = rng.uniform(-0.4, 0.6)
+        xr = (x - x0) * np.cos(th) + (y - y0) * np.sin(th)
+        yr = -(x - x0) * np.sin(th) + (y - y0) * np.cos(th)
+        img[(xr / a) ** 2 + (yr / b) ** 2 <= 1.0] += inten
+    img = np.clip(img, 0.0, 2.0)
+    return (img * 0.183).astype(np.float32)

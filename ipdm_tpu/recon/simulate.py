@@ -8,8 +8,10 @@ approximation with electronic noise Ne = 5.8 and photon flux N0 = 1.4e5,
 
 applied as p + σ(p)·n, n~N(0,1). Where the reference spawns a multiprocessing
 pool and reconstructs each noisy sinogram through the native ART binding, the
-TPU version vmaps the noise over the batch and reconstructs with the on-device
-OS-SART — a single jit, no process pool, no host round-trips.
+TPU version vmaps the noise over the batch and reconstructs with the
+rebinned-parallel OS-SART (Pallas projectors) — a single device computation,
+no process pool, no host round-trips. `exact=True` switches to the fan-beam
+footprint SART for parity studies.
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ipdm_tpu.recon.convertor import recons
+from ipdm_tpu.recon.convertor import fbp_geom_from_fan, recons
 from ipdm_tpu.recon.geometry import SIEMENS, FanBeamGeometry
 
 NE = 5.8
@@ -37,16 +39,20 @@ def add_noise(data: jnp.ndarray, rng, factor: float = 0.5) -> jnp.ndarray:
     return data + jnp.sqrt(var) * n
 
 
-@partial(jax.jit, static_argnames=("geom", "dose", "nstart", "nsubsets"))
 def simulate_ldct_batch(clean_proj: jnp.ndarray, rng, dose: float = 0.25,
                         geom: FanBeamGeometry = SIEMENS, nstart: int = 10,
-                        nsubsets: int = 40
+                        nsubsets: int = 40, exact: bool = False
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """[B, na, nr] clean sinograms → (noisy sinograms, LD images [B, ny, nx]).
 
     Mirrors the per-file worker (Low_dose_CT_simulate.py:13-35) as one batched
     device computation."""
     noisy = add_noise(clean_proj, rng, dose)
-    ld_img = recons(noisy, geom, nstart=nstart, nsubsets=nsubsets,
-                    permute=True)
+    if exact:
+        ld_img = recons(noisy, geom, nstart=nstart, nsubsets=nsubsets,
+                        permute=True)
+    else:
+        from ipdm_tpu.recon.sart_fast import sart_fast_convert
+        ld_img = sart_fast_convert(noisy, fbp_geom_from_fan(geom),
+                                   nstart=nstart, nsubsets=nsubsets)
     return noisy, ld_img

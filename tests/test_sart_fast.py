@@ -83,3 +83,20 @@ def test_project_fast_matches_exact(setup):
     scale = np.sum(fast * exact) / np.sum(exact ** 2)
     assert r > 0.99, f"corr {r}"
     assert abs(scale - 1.0) < 0.02, f"scale {scale}"
+
+
+def test_simulate_ldct_fast_path(setup):
+    import jax
+    from ipdm_tpu.recon.simulate import simulate_ldct_batch
+    fan, g, ph, proj = setup
+    noisy, ld = simulate_ldct_batch(jnp.asarray(proj[None]),
+                                    jax.random.PRNGKey(0), dose=0.25,
+                                    geom=fan, nstart=8, nsubsets=18)
+    assert noisy.shape == proj[None].shape
+    assert ld.shape == (1, fan.ny, fan.nx)
+    assert np.all(np.isfinite(np.asarray(ld)))
+    # reconstruction resembles the phantom (transposed recon convention)
+    c = 4
+    r = np.corrcoef(np.asarray(ld)[0, c:-c, c:-c].ravel(),
+                    ph.T[c:-c, c:-c].ravel())[0, 1]
+    assert r > 0.75, f"corr {r}"
