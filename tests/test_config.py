@@ -57,3 +57,27 @@ def test_copy_restore():
     snap = opt.copy()
     opt.merge({"eta_img": 0.9})
     assert opt.eta_img == 0.9 and snap.eta_img == 0.5
+
+
+def test_reference_presets_load(tmp_path):
+    """The three shipped Mayo presets load through the JSON overlay with
+    no unknown-key failures and the expected headline values."""
+    import json
+    import os.path as osp
+    from ipdm_tpu.config.config import IPDMConfig, load_option
+    root = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                    "Config", "Mayo-Config")
+    for name, checks in (
+            ("train_img_option.json",
+             dict(mode="train_img", partial_timesteps_img=50)),
+            ("train_proj_option.json",
+             dict(mode="train_proj", partial_timesteps_proj=50)),
+            ("test_progressive_option.json",
+             dict(mode="test_prog", convertor="ART",
+                  t_start_img=[15, 15, 15], constant_guidance_img=0.45,
+                  eta_img=0.7, fbp_sharpen=True))):
+        opt = IPDMConfig()
+        load_option(opt, osp.join(root, name), exception=[])
+        for k, v in checks.items():
+            assert getattr(opt, k) == v, (name, k, getattr(opt, k))
+        assert opt.metrics == ["psnr", "ssim", "fsim", "vif", "nqm"]
