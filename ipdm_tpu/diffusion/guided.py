@@ -153,12 +153,15 @@ class RestSpec(NamedTuple):
     lambda_kind: str       # 'constant' | 'map'
     constant_guidance: float = 0.0
     has_ldct: bool = False
+    save_states: bool = False
 
 
 def _one_iteration(model_fn, gd, ts: int, mode: str, clip: bool,
-                   lam_fn, x, guidance, rng):
+                   lam_fn, x, guidance, rng, save_states: bool = False):
     """q_sample to ts, reverse-scan to 0, post-clamp - one outer iteration,
-    fully traced (no host dispatch boundaries)."""
+    fully traced (no host dispatch boundaries). save_states additionally
+    returns the per-step reverse trajectory [ts, B, H, W, C] (the reference
+    img_reverse list, model.py:568)."""
     B = x.shape[0]
     rng, k_noise, k_scan = jax.random.split(rng, 3)
     noise = jax.random.normal(k_noise, x.shape, x.dtype)
@@ -172,13 +175,13 @@ def _one_iteration(model_fn, gd, ts: int, mode: str, clip: bool,
         t = jnp.full((B,), i, dtype=jnp.int32)
         xc = gd.p_sample_condition(model_fn, xc, guidance, t, sub,
                                    clip_denoised=clip, lambda_=lam)
-        return (xc, r), None
+        return (xc, r), (xc if save_states else None)
 
-    (x, _), _ = jax.lax.scan(step, (x, k_scan),
-                             jnp.arange(ts - 1, -1, -1))
+    (x, _), states = jax.lax.scan(step, (x, k_scan),
+                                  jnp.arange(ts - 1, -1, -1))
     if clip:
         x = jnp.clip(x, 0.0, 1.0) if mode == "img" else jnp.maximum(x, 0.0)
-    return x
+    return (x, states) if save_states else x
 
 
 @partial(jax.jit, static_argnames=("model_fn", "gd", "spec"))
@@ -208,6 +211,7 @@ def fused_iters(model_fn: Callable, gd: GaussianDiffusion, spec: RestSpec,
     static ts_list; each iteration is a lax.scan). Mirrors the reference
     guidance-update schedule (model.py:622-635)."""
     results = []
+    states = []
     x = x_init
     for it, ts in enumerate(spec.ts_list):
         if spec.lambda_kind == "constant":
@@ -217,8 +221,14 @@ def fused_iters(model_fn: Callable, gd: GaussianDiffusion, spec: RestSpec,
                 condition_lambda_map(delt_map, i, ts_),
                 (x0.shape[1], x0.shape[2])))(int(ts))
         rng, k = jax.random.split(rng)
-        x = _one_iteration(model_fn, gd, int(ts), spec.mode, spec.clip,
-                           lam_fn, x, guidance, k)
+        if spec.save_states:
+            x, st = _one_iteration(model_fn, gd, int(ts), spec.mode,
+                                   spec.clip, lam_fn, x, guidance, k,
+                                   save_states=True)
+            states.append(st)
+        else:
+            x = _one_iteration(model_fn, gd, int(ts), spec.mode, spec.clip,
+                               lam_fn, x, guidance, k)
         results.append(x)
         # guidance update for the next iteration
         if spec.mode == "proj":
@@ -226,6 +236,8 @@ def fused_iters(model_fn: Callable, gd: GaussianDiffusion, spec: RestSpec,
         else:
             base = ldct if spec.has_ldct else x0
             guidance = (spec.eta * x + (0.95 - spec.eta) * x0 + 0.05 * base)
+    if spec.save_states:
+        return results, states
     return results
 
 
@@ -267,9 +279,11 @@ def guided_reverse_process(model_fn: Callable, gd: GaussianDiffusion,
                         mode=mode, clip=clip, eta=float(eta),
                         lambda_kind="constant",
                         constant_guidance=float(constant_guidance),
-                        has_ldct=ldct is not None)
-        img_iters = fused_iters(model_fn, gd, spec, img, img, img,
-                                zero_delt, ldct_arr, k)
+                        has_ldct=ldct is not None,
+                        save_states=bool(save_states))
+        out = fused_iters(model_fn, gd, spec, img, img, img,
+                          zero_delt, ldct_arr, k)
+        img_iters, img_reverse = out if save_states else (out, None)
     else:
         # probe iteration (cosine lambda) + schedule choice + map-lambda rest
         probe_ts = 20 if adaptive else int(t_start[0])
@@ -297,19 +311,25 @@ def guided_reverse_process(model_fn: Callable, gd: GaussianDiffusion,
         rng, k_rest = jax.random.split(rng)
         spec = RestSpec(ts_list=tuple(sched), mode=mode, clip=clip,
                         eta=float(eta), lambda_kind="map",
-                        has_ldct=ldct is not None)
+                        has_ldct=ldct is not None,
+                        save_states=bool(save_states))
         # probe restart (model.py:629-630): the rest starts from the clean
         # condition with guidance = clean condition (imgs only updates from
         # iteration 1 onward)
-        rest = fused_iters(model_fn, gd, spec, img, img, img, delt_map,
-                           ldct_arr, k_rest) if sched else []
+        img_reverse = None
+        if sched:
+            out = fused_iters(model_fn, gd, spec, img, img, img, delt_map,
+                              ldct_arr, k_rest)
+            rest, img_reverse = out if save_states else (out, None)
+        else:
+            rest = []
         img_iters = [probe_x] + rest
 
     if len(img_iters) > 1:
         img_iters.append((img_iters[-1] + img_iters[-2]) / 2)
     if adaptive:
         img_iters = img_iters[1:]  # drop the probe iteration
-    return img_iters, None, out_noise_strength
+    return img_iters, img_reverse, out_noise_strength
 
 
 

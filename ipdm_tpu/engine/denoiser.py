@@ -357,11 +357,16 @@ class ProgressiveDomainDenoiser:
             opt.max_iter = len(train_dataset) * opt.max_epochs // opt.batch_size
             opt.resume_iter = (self.train_resume_epochs * opt.save_freq
                                // opt.batch_size)
+            # multi-host data parallelism: each host reads its interleaved
+            # shard of the global stream (replaces the reference's dormant
+            # torch.distributed rank sharding, Utils/sampler.py:10-16)
             sampler = RandomSampler(len(train_dataset),
                                     batch_size=opt.batch_size,
                                     num_iter=opt.max_iter,
                                     restore_iter=opt.resume_iter,
-                                    seed=opt.seed)
+                                    seed=opt.seed,
+                                    num_replicas=jax.process_count(),
+                                    rank=jax.process_index())
             self.train_len = len(train_dataset)
             self.train_loader = DataLoader(train_dataset, opt.batch_size,
                                            sampler=sampler,
@@ -554,7 +559,8 @@ class ProgressiveDomainDenoiser:
                 kernel_size=opt.kernel_size_img,
                 amplitude=opt.amplitude_img,
                 noise_strength=noise_strength, ldct=ldct,
-                only_convertor=opt.benchmark_test)
+                only_convertor=opt.benchmark_test,
+                save_states=opt.save_states_img)
         else:
             result = sparse_guided_reverse_process(
                 self._img_fn(), self.img_gaussian_diffusion, x, k,

@@ -136,3 +136,14 @@ def test_guidance_update_blend(gd):
         _identity_noise_model, gd, x, rng, t_start=[3, 3], mode="proj",
         constant_guidance=0.5, eta=0.4, clip=False)
     np.testing.assert_allclose(np.asarray(out1[-1]), np.asarray(out2[-1]))
+
+
+def test_save_states_returns_trajectory(gd):
+    rng = jax.random.PRNGKey(6)
+    x = jax.random.uniform(rng, (1, 16, 16, 1))
+    out, states, _ = guided_reverse_process(
+        _identity_noise_model, gd, x, rng, t_start=[3, 2], mode="img",
+        constant_guidance=0.45, clip=True, save_states=True)
+    assert states is not None and len(states) == 2
+    assert states[0].shape == (3, 1, 16, 16, 1)
+    assert states[1].shape == (2, 1, 16, 16, 1)
