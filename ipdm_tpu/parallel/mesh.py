@@ -118,7 +118,10 @@ def make_view_sharded_fbp(mesh: Mesh, g: FBPGeometry = SIEMENS_FBP,
     commutes with the view split), then a single `psum` over ICI accumulates
     the image. Input [B, M, N] replicated or view-sharded; output [B, n, n]
     replicated."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     nv = mesh.shape[axis]
     assert g.M % nv == 0
@@ -175,7 +178,7 @@ def make_view_sharded_fbp(mesh: Mesh, g: FBPGeometry = SIEMENS_FBP,
     in_spec = (P(None, axis, None), P(axis))
     out_spec = P(None, None, None)
     fn = shard_map(local_fbp, mesh=mesh, in_specs=in_spec,
-                   out_specs=out_spec, check_rep=False)
+                   out_specs=out_spec)
 
     @jax.jit
     def fbp(pj):
@@ -189,7 +192,10 @@ def make_view_sharded_fp(mesh: Mesh, geom: FanBeamGeometry,
     """Forward projection with views sharded: image replicated, each device
     computes its wedge [na/nv, nr]; output sinogram view-sharded then
     all-gathered to replicated."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
     from ipdm_tpu.recon.projector import forward_project
 
     nv = mesh.shape[axis]
@@ -206,7 +212,7 @@ def make_view_sharded_fp(mesh: Mesh, geom: FanBeamGeometry,
 
     fn = shard_map(local_fp, mesh=mesh,
                    in_specs=(P(), P(axis)),
-                   out_specs=P(None, axis, None), check_rep=False)
+                   out_specs=P(None, axis, None))
 
     @jax.jit
     def fp(x):
