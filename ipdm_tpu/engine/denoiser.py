@@ -52,6 +52,7 @@ from ipdm_tpu.engine.trainer import (TrainState, flatten_patches,
                                      make_train_step)
 from ipdm_tpu.models.unet import build_unet
 from ipdm_tpu.ops.lambda_curve import curve_init, proj_curve_init
+from ipdm_tpu.utils.profiling import PhaseTimer
 from ipdm_tpu.ops.sharpen import tensor_sharpen
 from ipdm_tpu.recon.convertor import Convertor
 
@@ -214,6 +215,8 @@ class ProgressiveDomainDenoiser:
 
         self.save_root_path = osp.join(save_root, "save_test_results")
         os.makedirs(self.save_root_path, exist_ok=True)
+        # per-phase wall-clock profiling (SURVEY.md §5.1; absent upstream)
+        self.timer = PhaseTimer()
 
     # -- config mutation (train_test_utils.py:202-211) ----------------------
 
@@ -268,15 +271,18 @@ class ProgressiveDomainDenoiser:
         opt = self.opt
         domain = self._train_domain
         if domain == "proj":
-            model, params = self.proj_model, self.proj_params
+            params = self.proj_params
             gd = self.proj_gaussian_diffusion
             self.partial_timesteps = opt.partial_timesteps_proj
             self.train_resume_epochs = opt.resume_epochs_proj
         else:
-            model, params = self.img_model, self.img_params
+            params = self.img_params
             gd = self.img_gaussian_diffusion
             self.partial_timesteps = opt.partial_timesteps_img
             self.train_resume_epochs = opt.resume_epochs_img
+        # remat twin for training: identical params, jax.checkpoint per
+        # block (activation memory O(depth) smaller in backprop)
+        model = build_unet(opt, domain, remat=True)
         self.optimizer = make_optimizer(opt.init_lr)
         self.train_state = TrainState(params=params,
                                       opt_state=self.optimizer.init(params),
@@ -480,6 +486,8 @@ class ProgressiveDomainDenoiser:
             self.result_data_save(data_save=opt.test_result_data_save)
             self.metric_update()
         self.metric_total_save(epoch)
+        if self.timer.totals:
+            print("[phases]", self.timer.report())
         if "train" in opt.mode and self.summer is not None:
             for key in self.metric_total.keys():
                 if self.metric_total[key]:
@@ -596,10 +604,12 @@ class ProgressiveDomainDenoiser:
                              sharpen_num=42):
         """proj stage → (sharpen) → img stage (train_test_utils.py:552-567)."""
         opt = self.opt
-        result, n_s = self.proj_denoiser(self.ldproj,
-                                         save_state=opt.save_it_state_proj,
-                                         save_proj_state=save_proj_state,
-                                         convert=convert)
+        with self.timer.phase("proj_stage+convert") as ph:
+            result, n_s = self.proj_denoiser(self.ldproj,
+                                             save_state=opt.save_it_state_proj,
+                                             save_proj_state=save_proj_state,
+                                             convert=convert)
+            ph["out"] = result
         if not (opt.convertor == "FBP" and opt.fbp_sharpen):
             sharpen_num = -1
         x = tensor_sharpen(result, sharpen_num)
@@ -607,8 +617,10 @@ class ProgressiveDomainDenoiser:
             x_np, trans = yeo_johnson_transform(np.asarray(x))
             self.trans_ldimg = trans
             x = jnp.asarray(x_np)
-        result = self.img_denoiser(x, noise_strength=n_s,
-                                   save_state=opt.save_it_state_img)
+        with self.timer.phase("img_stage") as ph:
+            result = self.img_denoiser(x, noise_strength=n_s,
+                                       save_state=opt.save_it_state_img)
+            ph["out"] = result
         return result
 
     # -- sample staging (train_test_utils.py:569-594) ------------------------

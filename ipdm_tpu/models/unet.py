@@ -182,6 +182,9 @@ class UNetModel(nn.Module):
     channel_mult: Sequence[float] = (1, 2, 2, 2)
     num_heads: int = 4
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # jax.checkpoint each res/attn block: trades one
+    #   extra forward in backprop for O(depth) less activation memory —
+    #   enables batch>1 training of the 512²/2000×912 UNets in 16G HBM
 
     def plan(self):
         """Static block plan: (down_plan, middle_ch, up_plan).
@@ -225,6 +228,8 @@ class UNetModel(nn.Module):
     @nn.compact
     def __call__(self, x, timesteps):
         """x: [B,H,W,C_in] NHWC; timesteps: [B]. Returns [B,H,W,C_out]."""
+        Res = nn.remat(ResidualBlock) if self.remat else ResidualBlock
+        Attn = nn.remat(AttentionBlock) if self.remat else AttentionBlock
         down_plan, middle_ch, up_plan, final_ch = self.plan()
         time_embed_dim = self.model_channels * 4
         emb = timestep_embedding(timesteps, self.model_channels,
@@ -244,23 +249,23 @@ class UNetModel(nn.Module):
                             param_dtype=jnp.float32, name=f"down{di}_stem")(h)
             elif entry[0] == "res":
                 _, in_ch, out_ch, attn = entry
-                h = ResidualBlock(in_ch, out_ch, self.dtype,
-                                  name=f"down{di}_res")(h, emb)
+                h = Res(in_ch, out_ch, self.dtype,
+                        name=f"down{di}_res")(h, emb)
                 if attn:
-                    h = AttentionBlock(out_ch, self.num_heads, self.dtype,
-                                       name=f"down{di}_attn")(h)
+                    h = Attn(out_ch, self.num_heads, self.dtype,
+                             name=f"down{di}_attn")(h)
             else:  # down
                 h = Downsample(entry[1], self.dtype,
                                name=f"down{di}_ds")(h)
             hs.append(h)
             di += 1
 
-        h = ResidualBlock(middle_ch, middle_ch, self.dtype,
-                          name="mid_res1")(h, emb)
-        h = AttentionBlock(middle_ch, self.num_heads, self.dtype,
-                           name="mid_attn")(h)
-        h = ResidualBlock(middle_ch, middle_ch, self.dtype,
-                          name="mid_res2")(h, emb)
+        h = Res(middle_ch, middle_ch, self.dtype,
+                name="mid_res1")(h, emb)
+        h = Attn(middle_ch, self.num_heads, self.dtype,
+                 name="mid_attn")(h)
+        h = Res(middle_ch, middle_ch, self.dtype,
+                name="mid_res2")(h, emb)
 
         h_ = hs.pop()
         for ui, entry in enumerate(up_plan):
@@ -269,11 +274,11 @@ class UNetModel(nn.Module):
             if hs:
                 h_ = hs.pop()
             size = (h_.shape[1], h_.shape[2])
-            h = ResidualBlock(in_ch, out_ch, self.dtype,
-                              name=f"up{ui}_res")(cat_in, emb)
+            h = Res(in_ch, out_ch, self.dtype,
+                    name=f"up{ui}_res")(cat_in, emb)
             if attn:
-                h = AttentionBlock(out_ch, self.num_heads, self.dtype,
-                                   name=f"up{ui}_attn")(h)
+                h = Attn(out_ch, self.num_heads, self.dtype,
+                         name=f"up{ui}_attn")(h)
             if upsample:
                 h = Upsample(out_ch, self.dtype, name=f"up{ui}_us")(h, size)
 
@@ -284,7 +289,7 @@ class UNetModel(nn.Module):
         return h.astype(jnp.float32)
 
 
-def build_unet(opt, domain: str) -> UNetModel:
+def build_unet(opt, domain: str, remat: bool = False) -> UNetModel:
     """Construct the img- or proj-domain UNet from an IPDMConfig
     (mirrors reference init_img_model/init_proj_model,
     Utils/train_test_utils.py:213-245)."""
@@ -292,6 +297,7 @@ def build_unet(opt, domain: str) -> UNetModel:
     g = lambda name: getattr(opt, f"{name}_{domain}")
     dtype = jnp.bfloat16 if opt.compute_dtype == "bfloat16" else jnp.float32
     return UNetModel(
+        remat=remat,
         in_channels=g("in_channels"),
         model_channels=g("model_channels"),
         out_channels=g("out_channels"),

@@ -131,3 +131,28 @@ def test_bfloat16_forward():
     out = m.apply(params, x, t)
     assert out.dtype == jnp.float32  # cast back at the head
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_remat_param_tree_and_output_match():
+    """nn.remat twin has the identical parameter tree and forward output."""
+    import jax
+    import jax.numpy as jnp
+    from ipdm_tpu.models.unet import UNetModel
+    kw = dict(in_channels=1, model_channels=8, out_channels=1,
+              num_res_blocks=1, attention_resolutions=(2,),
+              channel_mult=(1, 2))
+    m0 = UNetModel(**kw)
+    m1 = UNetModel(remat=True, **kw)
+    x = jnp.ones((1, 8, 8, 1))
+    t = jnp.zeros((1,), jnp.int32)
+    p0 = m0.init(jax.random.PRNGKey(0), x, t)
+    p1 = m1.init(jax.random.PRNGKey(0), x, t)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    import numpy as np
+    np.testing.assert_allclose(np.asarray(m0.apply(p0, x, t)),
+                               np.asarray(m1.apply(p0, x, t)), atol=1e-6)
+    # gradients flow through the remat version
+    loss = lambda p: jnp.sum(m1.apply(p, x, t) ** 2)
+    g = jax.grad(loss)(p0)
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree_util.tree_leaves(g))
