@@ -40,59 +40,6 @@ from ipdm_tpu.ops.lambda_map import avg_pool, condition_lambda_map, \
     nearest_upsample
 
 
-class GuidanceSpec(NamedTuple):
-    """Static guidance configuration for one reverse scan."""
-    ts: int                      # re-noise depth / number of reverse steps
-    mode: str                    # 'img' | 'proj'
-    clip: bool                   # clamp x̂₀ to [-1,1] inside steps
-    lambda_kind: str             # 'constant' | 'cosine' | 'map'
-    constant_guidance: float = 0.0
-    lambda_ratio: float = 1.0    # schedule_power of the probe cosine λ table
-
-
-def _lambda_for_step(spec: GuidanceSpec, i, cos_table, delt_map, x_shape):
-    """λ source for reverse step i (reference model.py:550-562)."""
-    if spec.lambda_kind == "constant":
-        return jnp.float32(spec.constant_guidance)
-    if spec.lambda_kind == "cosine":
-        return cos_table[i]
-    # per-pixel map from the pooled exponent map delt (iters ≥ 1)
-    lam = condition_lambda_map(delt_map, i, spec.ts)
-    return nearest_upsample(lam, (x_shape[1], x_shape[2]))
-
-
-@partial(jax.jit, static_argnames=("model_fn", "gd", "spec"))
-def guided_reverse_scan(model_fn: Callable, gd: GaussianDiffusion,
-                        spec: GuidanceSpec, x_noisy: jnp.ndarray,
-                        guidance: jnp.ndarray, delt_map: jnp.ndarray,
-                        rng: jnp.ndarray) -> jnp.ndarray:
-    """One guided reverse pass from t = ts−1 down to 0 as a lax.scan.
-
-    x_noisy: already re-noised input [B,H,W,C]; guidance: the condition x₀;
-    delt_map: pooled per-pixel λ exponents (ignored unless lambda_kind='map').
-    """
-    B = x_noisy.shape[0]
-    cos_table = jnp.asarray(
-        cosine_beta_schedule(spec.ts, schedule_power=spec.lambda_ratio),
-        dtype=jnp.float32) if spec.lambda_kind == "cosine" else None
-
-    def step(carry, i):
-        x, rng = carry
-        rng, sub = jax.random.split(rng)
-        lam = _lambda_for_step(spec, i, cos_table, delt_map, x_noisy.shape)
-        t = jnp.full((B,), i, dtype=jnp.int32)
-        x = gd.p_sample_condition(model_fn, x, guidance, t, sub,
-                                  clip_denoised=spec.clip, lambda_=lam)
-        return (x, rng), None
-
-    (x, _), _ = jax.lax.scan(step, (x_noisy, rng),
-                             jnp.arange(spec.ts - 1, -1, -1))
-    # post-iteration clamp (model.py:569-573)
-    if spec.clip:
-        x = jnp.clip(x, 0.0, 1.0) if spec.mode == "img" else jnp.maximum(x, 0.0)
-    return x
-
-
 def _torch_median(x: jnp.ndarray) -> jnp.ndarray:
     """torch.median semantics: the (n-1)//2-th order statistic (lower median
     for even n), unlike jnp.median which averages the middle pair."""

@@ -130,3 +130,20 @@ def test_result_temp_dict_indexing():
     r["iter_1"] = "a"
     r["iter_2"] = "b"
     assert r[1] == "a" and r[2] == "b" and r[-1] == "b"
+
+
+def test_figure_save_writes_pngs(tmp_path):
+    """display_result path: annotated PNG grids land in the artifact dir
+    (reference figure modes, train_test_utils.py:596-763)."""
+    opt = _tiny_img_opt(tmp_path, "test_img", display_result=True,
+                        test_result_data_save=True)
+    eng = ProgressiveDomainDenoiser(opt, result_save_path=str(tmp_path / "o"))
+    eng.fit()
+    pngs = glob.glob(os.path.join(eng.save_root_path, "Save_Iter_0",
+                                  "L001", "*", "deImg.png"))
+    assert len(pngs) == 1 and os.path.getsize(pngs[0]) > 1000
+    npzs = glob.glob(os.path.join(eng.save_root_path, "Save_Iter_0",
+                                  "L001", "*", "img_denoise_result.npz"))
+    assert len(npzs) == 1
+    arrs = np.load(npzs[0])
+    assert arrs["iter_1"].shape[1] == 1  # NCHW artifact layout

@@ -156,3 +156,33 @@ def test_remat_param_tree_and_output_match():
     g = jax.grad(loss)(p0)
     assert all(np.all(np.isfinite(np.asarray(l)))
                for l in jax.tree_util.tree_leaves(g))
+
+
+def test_bf16_guided_sampling_close_to_f32():
+    """bf16-activation UNet inside the guided sampler: finite and close to
+    the f32 result over a short reverse process (same params/rng)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ipdm_tpu.diffusion.diffusion import GaussianDiffusion
+    from ipdm_tpu.diffusion.guided import guided_reverse_process
+    from ipdm_tpu.models.unet import UNetModel
+    kw = dict(in_channels=1, model_channels=8, out_channels=1,
+              num_res_blocks=1, attention_resolutions=(4,),
+              channel_mult=(1, 1, 2))
+    m32 = UNetModel(**kw)
+    m16 = UNetModel(dtype=jnp.bfloat16, **kw)
+    x = jnp.ones((1, 16, 16, 1)) * 0.3
+    t = jnp.zeros((1,), jnp.int32)
+    p = m32.init(jax.random.PRNGKey(0), x, t)
+    gd = GaussianDiffusion(50, "cosine")
+    rng = jax.random.PRNGKey(1)
+    o32, _, _ = guided_reverse_process(
+        lambda a, tt: m32.apply(p, a, tt), gd, x, rng, t_start=[3, 2],
+        mode="img", constant_guidance=0.45, clip=True)
+    o16, _, _ = guided_reverse_process(
+        lambda a, tt: m16.apply(p, a, tt), gd, x, rng, t_start=[3, 2],
+        mode="img", constant_guidance=0.45, clip=True)
+    a, b = np.asarray(o32[-1]), np.asarray(o16[-1])
+    assert np.all(np.isfinite(b))
+    assert np.mean(np.abs(a - b)) < 0.05
