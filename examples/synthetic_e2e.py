@@ -31,18 +31,26 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 import numpy as np
 
 
-def build_dataset(out: str, n_slices: int, size: int, dose: float, seed=0):
+def make_geom(size: int):
+    from ipdm_tpu.recon.geometry import SIEMENS, FanBeamGeometry
+    if size == 512:
+        return SIEMENS   # the true scanner geometry (2000×912)
+    return FanBeamGeometry(nx=size, ny=size, dx=42 / size, dy=42 / size,
+                           nr=2 * size, dr=0.0010125 * 912 / (2 * size),
+                           na=360, ta_dimx=401, ta_dimy=91)
+
+
+def build_dataset(out: str, n_slices: int, size: int, dose: float, seed=0,
+                  recon="SART"):
     import jax
     import jax.numpy as jnp
     from ipdm_tpu.recon.convertor import fbp_geom_from_fan
-    from ipdm_tpu.recon.geometry import FanBeamGeometry
     from ipdm_tpu.recon.phantom import random_ellipse_phantom
     from ipdm_tpu.recon.sart_fast import project_fast, sart_fast_convert
+    from ipdm_tpu.recon.fbp_fast import fbp_convert_fast
     from ipdm_tpu.recon.simulate import add_noise
 
-    geom = FanBeamGeometry(nx=size, ny=size, dx=42 / size, dy=42 / size,
-                           nr=2 * size, dr=0.0010125 * 912 / (2 * size),
-                           na=360, ta_dimx=401, ta_dimy=91)
+    geom = make_geom(size)
     g = fbp_geom_from_fan(geom)
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
@@ -56,8 +64,11 @@ def build_dataset(out: str, n_slices: int, size: int, dose: float, seed=0):
                                float(g.da))
         key, k = jax.random.split(key)
         ld_proj = add_noise(fd_proj, k, dose)
-        ld_img = sart_fast_convert(ld_proj, g, nstart=4,
-                                   nsubsets=min(18, geom.na))
+        if recon == "SART":
+            ld_img = sart_fast_convert(ld_proj, g, nstart=4,
+                                       nsubsets=min(18, geom.na))
+        else:
+            ld_img = fbp_convert_fast(ld_proj, g)
         fd_img = jnp.asarray(ph.T[None])  # recon orientation
         for s, arr in zip(streams, (fd_img, ld_img, fd_proj, ld_proj)):
             np.save(osp.join(out, s, "P001", f"{i:04d}.npy"),
@@ -72,6 +83,10 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--dose", type=float, default=0.25)
     ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--recon", default="SART", choices=["SART", "FBP"])
+    ap.add_argument("--full-arch", action="store_true",
+                    help="use the reference model sizes (ch=64)")
+    ap.add_argument("--test-slices", type=int, default=4)
     ap.add_argument("--skip-build", action="store_true")
     args = ap.parse_args(argv)
 
@@ -80,27 +95,37 @@ def main(argv=None):
 
     size = args.size
     if not args.skip_build:
-        print("[1/4] building synthetic dataset...")
-        build_dataset(args.out, args.n, size, args.dose)
+        print("[1/4] building synthetic dataset...", flush=True)
+        build_dataset(args.out, args.n, size, args.dose, recon=args.recon)
 
-    geo = dict(nx=size, ny=size, dx=42 / size, dy=42 / size, nr=2 * size,
-               dr=0.0010125 * 912 / (2 * size), na=360,
-               ta_dimx=401, ta_dimy=91)
+    gm = make_geom(size)
+    geo = None if size == 512 else dict(
+        nx=gm.nx, ny=gm.ny, dx=gm.dx, dy=gm.dy, nr=gm.nr, dr=gm.dr,
+        na=gm.na, ta_dimx=gm.ta_dimx, ta_dimy=gm.ta_dimy)
     paths = {f"{m}_dataset_path_{k}": osp.join(args.out, s)
              for m in ("train", "test")
              for k, s in (("FD_img", "fd_img"), ("LD_img", "ld_img"),
                           ("FD_proj", "fd_proj"), ("LD_proj", "ld_proj"))}
 
-    common = dict(batch_size=2, save_freq=args.iters, test_numbers=0,
+    if args.full_arch:
+        arch = dict(model_channels_img=64,
+                    channel_mult_img=[1, 1, 2, 2, 4, 4],
+                    attention_resolutions_img=[16],
+                    model_channels_proj=64,
+                    channel_mult_proj=[0.0625, 0.125, 0.25, 2, 2, 4, 4],
+                    attention_resolutions_proj=[32])
+    else:
+        arch = dict(model_channels_img=16, channel_mult_img=[1, 1, 2, 2],
+                    attention_resolutions_img=[8],
+                    model_channels_proj=16, channel_mult_proj=[1, 1, 2, 2],
+                    attention_resolutions_proj=[8])
+    common = dict(batch_size=1, save_freq=args.iters, test_numbers=0,
                   init_lr=2e-4, geometry=geo, metrics=["psnr", "ssim"],
                   patch=None, patch_per_image=None,
                   timesteps_img=1000, partial_timesteps_img=50,
                   timesteps_proj=1000, partial_timesteps_proj=50,
-                  model_channels_img=16, channel_mult_img=[1, 1, 2, 2],
-                  attention_resolutions_img=[8],
-                  model_channels_proj=16, channel_mult_proj=[1, 1, 2, 2],
-                  attention_resolutions_proj=[8],
-                  max_epochs=max(1, args.iters * 2 // args.n), **paths)
+                  max_epochs=max(1, args.iters * 1 // args.n), **arch,
+                  **paths)
 
     print("[2/4] training img model...")
     opt = IPDMConfig(mode="train_img", run_name="synth_img", **common)
@@ -125,7 +150,7 @@ def main(argv=None):
                      resume_epochs_img=1, resume_epochs_proj=1,
                      load_img_model_path=img_dir,
                      load_proj_model_path=proj_dir, **common)
-    opt.test_numbers = min(4, args.n)
+    opt.test_numbers = min(args.test_slices, args.n)
     eng = ProgressiveDomainDenoiser(opt, result_save_path=args.out)
     eng.test(0)
     agg = osp.join(eng.save_root_path, "Save_Iter_0", "metric.json")

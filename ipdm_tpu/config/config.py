@@ -22,7 +22,7 @@ import dataclasses
 import json
 import sys
 from dataclasses import dataclass, field
-from typing import Any, List, Optional
+from typing import List, Optional
 
 
 def _lst(*xs):
@@ -49,13 +49,6 @@ class IPDMConfig:
     resume_epochs_proj: int = 0
     resume_epochs_img: int = 0
     display_result: bool = False
-    test_result_data_save: bool = False
-    benchmark_test: bool = False
-    metrics: List[str] = _lst("psnr", "ssim", "fsim", "vif", "nqm")
-    fbp_sharpen: bool = False
-    ntv: int = 0
-    normal: bool = False
-    ultra_img_denoise: bool = True
     test_result_data_save: bool = False
     benchmark_test: bool = False
     metrics: List[str] = _lst("psnr", "ssim", "fsim", "vif", "nqm")

@@ -24,7 +24,6 @@ jax.random instead of torch RNG):
 
 from __future__ import annotations
 
-import math
 from functools import partial
 from typing import Callable, List, NamedTuple, Optional, Sequence, Tuple
 

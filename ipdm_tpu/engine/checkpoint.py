@@ -12,8 +12,6 @@ import os
 import os.path as osp
 from typing import Any, Optional
 
-import jax
-
 
 def _checkpointer():
     import orbax.checkpoint as ocp

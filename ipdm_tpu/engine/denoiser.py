@@ -48,8 +48,7 @@ from ipdm_tpu.diffusion.normalize import (yeo_johnson_inverse_transform,
 from ipdm_tpu.engine.checkpoint import CheckpointManager
 from ipdm_tpu.engine.logging import LoggerX, ScalarWriter
 from ipdm_tpu.engine.trainer import (TrainState, flatten_patches,
-                                     init_train_state, make_optimizer,
-                                     make_train_step)
+                                     make_optimizer, make_train_step)
 from ipdm_tpu.models.unet import build_unet
 from ipdm_tpu.ops.lambda_curve import curve_init, proj_curve_init
 from ipdm_tpu.utils.profiling import PhaseTimer

@@ -8,8 +8,7 @@ TASART2DNSL0_PyAPI.cpp:33-90), including the recons output transpose
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

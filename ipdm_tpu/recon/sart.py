@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ipdm_tpu.recon.geometry import FanBeamGeometry
-from ipdm_tpu.recon.projector import (Footprint, bp_norm_one_angle,
+from ipdm_tpu.recon.projector import (bp_norm_one_angle,
                                       bp_one_angle, footprint_for_angle,
                                       fp_norm_one_angle, fp_one_angle,
                                       pixel_centers)
