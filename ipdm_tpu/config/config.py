@@ -123,6 +123,9 @@ class IPDMConfig:
     sart_subsets: int = 40  # ordered-subset count for OS-SART (2000 % subsets == 0)
     sart_nstart: int = 10  # outer SART sweeps (reference nstart=10)
     use_pallas: bool = True  # Pallas fast path for projector/FBP kernels
+    native_loader: bool = True  # C++ prefetching batch loader for training
+    #   (native/libipdm_native.so via ctypes); silently falls back to the
+    #   synchronous python loader when the library isn't built
     exact_fbp: bool = False  # force the reference-faithful direct fan BP
     #   (slow on TPU) instead of the rebinned slice-gather fast path
     seed: int = 0

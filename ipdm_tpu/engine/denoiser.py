@@ -425,10 +425,57 @@ class ProgressiveDomainDenoiser:
         self.logger.msg({"loss": loss, "lr": opt.init_lr}, n_iter)
         return loss
 
+    def _native_train_iter(self):
+        """C++ prefetching loader fast path (native/, SURVEY native #4 slot):
+        decodes the training stream ahead of the device in worker threads.
+        Returns an iterator yielding the 4-stream tuples train() expects, or
+        None when unavailable/not applicable."""
+        opt = self.opt
+        from ipdm_tpu.utils import native
+        if not (opt.native_loader and native.available()
+                and not opt.normal):
+            return None
+        ds = self.train_loader.dataset
+        files = (ds.fdproj_file_name if opt.mode == "train_proj"
+                 else ds.fdimg_file_name)
+        if files is None or any(f.endswith(".npz") for f in files[:1]):
+            return None
+        H, W = np.load(files[0], mmap_mode="r").shape[:2]
+        indices = list(iter(self.train_loader.sampler))
+        loader = native.NativeLoader(files, H, W, indices,
+                                     batch=opt.batch_size, n_threads=2)
+        stream_idx = 1 if opt.mode == "train_proj" else 2
+        scale = 0.1 if (opt.mode == "train_proj" and opt.clip_proj) else 1.0
+        rng = np.random.default_rng(opt.seed)
+
+        def gen():
+            for arr in loader:            # [b, H, W]
+                arr = arr * scale
+                if opt.patch:
+                    ph, pw = opt.patch
+                    ppi = opt.patch_per_image
+                    out = np.empty((arr.shape[0], ppi, ph, pw, 1),
+                                   np.float32)
+                    for b in range(arr.shape[0]):
+                        for k in range(ppi):
+                            top = rng.integers(0, max(H - ph, 0) + 1)
+                            left = rng.integers(0, max(W - pw, 0) + 1)
+                            out[b, k, :, :, 0] = arr[b, top:top + ph,
+                                                     left:left + pw]
+                else:
+                    out = arr[..., None]
+                item = [None, None, None, None]
+                item[stream_idx] = out
+                yield tuple(item)
+
+        return gen()
+
     def fit(self):
         opt = self.opt
         if "train" in opt.mode:
-            loader = iter(self.train_loader)
+            loader = self._native_train_iter()
+            if loader is None:
+                loader = iter(self.train_loader)
             loss_temp = [0.0]
             for n_iter in range(opt.resume_iter + 1, opt.max_iter + 1):
                 inputs = next(loader)
