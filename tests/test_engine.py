@@ -147,3 +147,30 @@ def test_figure_save_writes_pngs(tmp_path):
     assert len(npzs) == 1
     arrs = np.load(npzs[0])
     assert arrs["iter_1"].shape[1] == 1  # NCHW artifact layout
+
+
+def test_yeo_johnson_mode_end_to_end(tmp_path):
+    """opt.normal: inputs Gaussianised before the sampler, results
+    inverse-transformed (reference model.py:762-807 path)."""
+    opt = _tiny_img_opt(tmp_path, "test_img", normal=True)
+    eng = ProgressiveDomainDenoiser(opt, result_save_path=str(tmp_path / "o"))
+    eng.fit()
+    metrics = glob.glob(os.path.join(
+        eng.save_root_path, "Save_Iter_0", "L001", "*", "metric.json"))
+    with open(metrics[0]) as f:
+        mi = json.load(f)
+    assert np.isfinite(mi["deImg"]["psnr_iter_1"])
+
+
+def test_benchmark_test_mode_scores_convertor_only(tmp_path):
+    """benchmark_test short-circuits the diffusion (reference
+    model.py:521-523): deImg metrics equal the LDCT input's."""
+    opt = _tiny_img_opt(tmp_path, "test_img", benchmark_test=True)
+    eng = ProgressiveDomainDenoiser(opt, result_save_path=str(tmp_path / "o"))
+    eng.fit()
+    metrics = glob.glob(os.path.join(
+        eng.save_root_path, "Save_Iter_0", "L001", "*", "metric.json"))
+    with open(metrics[0]) as f:
+        mi = json.load(f)
+    assert mi["deImg"]["psnr_iter_1"] == pytest.approx(
+        mi["LDCT"]["psnr_iter_0"], abs=1e-6)
