@@ -23,3 +23,21 @@ jax.config.update("jax_platforms", "cpu")
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# Build the native library if missing (a few seconds; native tests skip
+# gracefully if the toolchain is unavailable).
+def _ensure_native():
+    import subprocess
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    so = os.path.join(root, "native", "libipdm_native.so")
+    if os.path.exists(so):
+        return
+    try:
+        subprocess.run(["make", "-C", os.path.join(root, "native")],
+                       check=True, capture_output=True, timeout=120)
+    except Exception:
+        pass
+
+
+_ensure_native()
