@@ -298,20 +298,33 @@ class ProgressiveDomainDenoiser:
 
     # -- checkpoints (train_test_utils.py:247-251; loggerx.py:62-80) --------
 
+    def _load_params(self, name, epoch, load_dir, model, target):
+        """Load `save_models/{name}-{epoch}`: Orbax trees are directories;
+        a plain *file* at that path is treated as a reference PyTorch
+        state_dict (loggerx.py:62-69 layout) and imported via
+        ipdm_tpu.utils.torch_import — reference-trained weights load
+        directly."""
+        import os.path as osp
+        path = osp.join(load_dir or self.ckpt.dir, f"{name}-{epoch}")
+        if osp.isfile(path):
+            from ipdm_tpu.utils.torch_import import load_torch_checkpoint
+            return load_torch_checkpoint(model, path)
+        return self.ckpt.load(name, epoch, target=target, load_dir=load_dir)
+
     def load_model(self):
         opt = self.opt
         if (opt.resume_epochs_img > 0 and opt.load_img_model_path is not None
                 and self.img_model is not None):
-            t = self.ckpt.load("img_model", opt.resume_epochs_img,
-                               target=self.img_params,
-                               load_dir=opt.load_img_model_path)
+            t = self._load_params("img_model", opt.resume_epochs_img,
+                                  opt.load_img_model_path,
+                                  self.img_model, self.img_params)
             if t is not None:
                 self.img_params = t
         if (opt.resume_epochs_proj > 0 and opt.load_proj_model_path is not None
                 and self.proj_model is not None):
-            t = self.ckpt.load("proj_model", opt.resume_epochs_proj,
-                               target=self.proj_params,
-                               load_dir=opt.load_proj_model_path)
+            t = self._load_params("proj_model", opt.resume_epochs_proj,
+                                  opt.load_proj_model_path,
+                                  self.proj_model, self.proj_params)
             if t is not None:
                 self.proj_params = t
 
