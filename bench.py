@@ -54,12 +54,17 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     # --- models (reference test_prog architectures) ----------------------
+    # bf16 activations (f32 params/accumulation): measured metric parity with
+    # f32 on the full progressive pipeline to 3-4 decimals (docs/PERF.md) —
+    # the std-normalised guidance blend re-normalises activation noise away
     img_model = UNetModel(in_channels=1, model_channels=64, out_channels=1,
                           num_res_blocks=2, attention_resolutions=(16,),
-                          channel_mult=(1, 1, 2, 2, 4, 4))
+                          channel_mult=(1, 1, 2, 2, 4, 4),
+                          dtype=jnp.bfloat16)
     proj_model = UNetModel(in_channels=1, model_channels=64, out_channels=1,
                            num_res_blocks=2, attention_resolutions=(32,),
-                           channel_mult=(0.0625, 0.125, 0.25, 2, 2, 4, 4))
+                           channel_mult=(0.0625, 0.125, 0.25, 2, 2, 4, 4),
+                           dtype=jnp.bfloat16)
     t0 = time.time()
     k1, k2, rng = jax.random.split(rng, 3)
     img_x = jnp.zeros((1, 512, 512, 1), jnp.float32)

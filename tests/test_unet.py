@@ -28,13 +28,27 @@ def test_timestep_embedding_cos_sin_order():
 
 
 def test_nearest_resize_matches_torch_convention():
+    """Both the repeat+crop fast path (dst ∈ {2s, 2s−1} — every UNet
+    upsample) and the one-hot-matmul general path match
+    F.interpolate(mode='nearest')."""
     import torch
     import torch.nn.functional as F
-    x = np.random.RandomState(0).rand(1, 13, 7, 2).astype(np.float32)
-    out = np.asarray(nearest_resize(jnp.asarray(x), (25, 13)))
-    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
-    want = F.interpolate(xt, size=(25, 13), mode="nearest").numpy()
-    np.testing.assert_allclose(out.transpose(0, 3, 1, 2), want, atol=1e-6)
+    rs = np.random.RandomState(0)
+    cases = [
+        ((13, 7), (25, 13)),    # fast: (2s−1, 2s−1)
+        ((13, 7), (26, 14)),    # fast: (2s, 2s)
+        ((63, 57), (125, 114)),  # fast: sinogram pyramid tail
+        ((13, 7), (25, 14)),    # fast: mixed
+        ((13, 7), (30, 10)),    # general fallback
+        ((13, 7), (13, 21)),    # general fallback (non-integer ratio)
+    ]
+    for src, dst in cases:
+        x = rs.rand(1, src[0], src[1], 2).astype(np.float32)
+        out = np.asarray(nearest_resize(jnp.asarray(x), dst))
+        xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        want = F.interpolate(xt, size=dst, mode="nearest").numpy()
+        np.testing.assert_allclose(out.transpose(0, 3, 1, 2), want,
+                                   atol=1e-6, err_msg=f"{src}->{dst}")
 
 
 def _param_count(params):
