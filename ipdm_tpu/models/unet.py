@@ -1,4 +1,4 @@
-"""DDPM ε-prediction UNet, TPU-native (Flax linen, NHWC).
+"""DDPM ε-prediction UNet, TPU-native (Flax linen, NHWC + planar shallow mode).
 
 Architecturally equivalent to the reference UNetModel (Model/model.py:190-310):
 same channel_mult semantics (channel_mult[0] scales the stem conv;
@@ -8,10 +8,27 @@ in attention_resolutions, explicit-size nearest upsampling so the odd-shaped
 2000×912 sinogram pyramid (2000→1000→500→250→125→63) round-trips exactly, and
 the same 4×-wide sinusoidal timestep MLP.
 
-TPU-first choices: NHWC layout (XLA's native conv layout on TPU), fused
-dot_product_attention-style einsum attention, optional bfloat16 activations
-with float32 params, and no data-dependent Python control flow — the module
-jits once per input shape.
+TPU-first choices:
+
+* **Planar shallow mode** (the big one): blocks whose output channel count is
+  ≤ `planar_max_c` run in W-minor [B, C, H, W] layout with convs expressed as
+  nine shifted channel-contraction einsums. In NHWC, XLA materializes the
+  shallow sinogram levels' C∈{4,8,16} tensors in C-minor lane tiles padded
+  toward 128 — up to 16× the bytes — between fusions; measured on a v5e, the
+  whole C=8 level at 2000×912 drops 31.7 → 13.0 ms when run planar
+  (scripts/probe_planar.py; lax.conv with NCHW dimension numbers is *worse*,
+  57.7 ms, because the conv op itself forces C-minor relayouts). Deep levels
+  (C ≥ 128) stay NHWC where XLA's conv emitter is near its practical peak
+  (~50 TF/s bf16 measured). Layouts convert only at the shallow↔deep
+  boundary, where channel counts make the transpose cheap.
+* bf16 activations with f32 params option; f32 GroupNorm statistics.
+* Nearest-resize as repeat(2×)+crop for the dst ∈ {2s, 2s−1} sizes every UNet
+  upsample produces (provably identical to torch's floor(i·src/dst) rule:
+  the gap i/(2(2s−1)) < 1/2 never crosses frac(i/2) ∈ {0, ½}); one-hot
+  matmul resize for general sizes (arbitrary gathers take the TPU scalar
+  path, ~10 ns/element).
+* im2col-einsum for small-C NHWC convs, fused einsum attention, no
+  data-dependent Python control flow — the module jits once per input shape.
 """
 
 from __future__ import annotations
@@ -50,16 +67,44 @@ def group_count(channels: int) -> int:
     return int(divs[np.argmin((divs - 32) ** 2)])
 
 
+def to_planar(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC → [B, C, H, W]."""
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
+def from_planar(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, C, H, W] → NHWC."""
+    return jnp.transpose(x, (0, 2, 3, 1))
+
+
 class GN(nn.Module):
-    """GroupNorm with the reference group rule; f32 statistics."""
+    """GroupNorm with the reference group rule; f32 statistics; works on
+    NHWC or planar [B,C,H,W] input."""
     channels: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        return nn.GroupNorm(num_groups=group_count(self.channels),
-                            epsilon=1e-5, dtype=self.dtype,
-                            param_dtype=jnp.float32)(x)
+    def __call__(self, x, planar: bool = False):
+        C = self.channels
+        g = group_count(C)
+        scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        if planar:
+            B, _, H, W = x.shape
+            xg = xf.reshape(B, g, C // g, H, W)
+            mean = xg.mean(axis=(2, 3, 4), keepdims=True)
+            var = ((xg - mean) ** 2).mean(axis=(2, 3, 4), keepdims=True)
+            y = ((xg - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(xf.shape)
+            y = y * scale[None, :, None, None] + bias[None, :, None, None]
+        else:
+            B, H, W, _ = x.shape
+            xg = xf.reshape(B, H, W, g, C // g)
+            mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+            var = ((xg - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
+            y = ((xg - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(xf.shape)
+            y = y * scale + bias
+        return y.astype(x.dtype)
 
 
 def _onehot_resize_matrix(src: int, dst: int) -> np.ndarray:
@@ -71,53 +116,52 @@ def _onehot_resize_matrix(src: int, dst: int) -> np.ndarray:
     return m
 
 
-def nearest_resize(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
-    """Nearest-neighbour resize of NHWC x to spatial `size` using the
-    floor(dst·in/out) index convention of torch F.interpolate(mode='nearest')
-    (used by reference Upsample, model.py:160-171), so the up path matches the
-    reference exactly even at odd sinogram shapes.
+def nearest_resize(x: jnp.ndarray, size: Tuple[int, int],
+                   planar: bool = False) -> jnp.ndarray:
+    """Nearest-neighbour resize to spatial `size`, torch F.interpolate
+    index convention (floor(i·src/dst), reference Upsample model.py:160-171).
 
-    Fast path — every UNet upsample targets dst ∈ {2s, 2s−1} of its source
-    (the down path halves with ceil, so the sinogram pyramid is
-    2000→1000→500→250→125→63 and each upsample exactly doubles-or-doubles
-    -minus-one). For dst = 2s−1, floor(i·s/dst) == i//2 for all i < dst:
-    the difference i·s/(2s−1) − i/2 = i/(2(2s−1)) < 1/2, and frac(i/2) ∈
-    {0, 1/2} can only cross the next integer when i ≥ 2s−1 — never in range
-    (trivially equal for dst = 2s). So nearest-resize degenerates to
-    repeat(2×)+crop: pure VPU data movement (measured 3.7 ms → ~0.1 ms for
-    the 1000×456→2000×912 C=4 upsample).
-
-    General sizes fall back to two constant one-hot matmuls instead of
-    gathers: arbitrary-index gathers take the TPU's scalar path
-    (~10 ns/element — measured to dominate the whole sinogram UNet), while
-    the one-hot contraction runs on the MXU."""
-    H, W = x.shape[1], x.shape[2]
+    Fast path: dst ∈ {2s, 2s−1} (every UNet upsample) → repeat(2×)+crop,
+    provably identical (see module docstring). General sizes → two constant
+    one-hot matmuls."""
+    if planar:
+        H, W = x.shape[2], x.shape[3]
+    else:
+        H, W = x.shape[1], x.shape[2]
     dh, dw = int(size[0]), int(size[1])
+    ha, wa = (2, 3) if planar else (1, 2)
     if dh in (2 * H, 2 * H - 1) and dw in (2 * W, 2 * W - 1):
-        x = jnp.repeat(x, 2, axis=1)[:, :dh]
-        return jnp.repeat(x, 2, axis=2)[:, :, :dw]
+        x = jnp.repeat(x, 2, axis=ha)
+        x = jax.lax.slice_in_dim(x, 0, dh, axis=ha)
+        x = jnp.repeat(x, 2, axis=wa)
+        return jax.lax.slice_in_dim(x, 0, dw, axis=wa)
     mh = jnp.asarray(_onehot_resize_matrix(H, dh), dtype=x.dtype)
     mw = jnp.asarray(_onehot_resize_matrix(W, dw), dtype=x.dtype)
+    if planar:
+        x = jnp.einsum("dh,bchw->bcdw", mh, x)
+        return jnp.einsum("ew,bcdw->bcde", mw, x)
     x = jnp.einsum("dh,bhwc->bdwc", mh, x)
     return jnp.einsum("ew,bdwc->bdec", mw, x)
 
 
 class Conv3x3(nn.Module):
-    """3×3 conv, drop-in for nn.Conv(features, (3,3), padding=1[, strides]).
+    """3×3 conv with 'kernel' (HWIO) / 'bias' params, three lowerings:
 
-    For small input-channel counts (the sinogram UNet's shallow levels run
-    at C∈{4,8,16} over 2000×912), XLA's conv lowering on TPU is ~40× off
-    roofline; an explicit im2col + einsum is ~2.5× faster (measured). Param
-    structure matches nn.Conv ('kernel' HWIO, 'bias'), so checkpoints are
-    interchangeable; large-C inputs fall through to lax.conv."""
+    * planar [B,C,H,W] input: nine shifted channel-contraction einsums —
+      never leaves the W-minor layout (the shallow-level path).
+    * NHWC, small C_in: explicit im2col + einsum (measured faster than
+      XLA's conv lowering at C≤32).
+    * NHWC, large C_in: lax.conv (near peak for C≥128).
+
+    Param structure matches nn.Conv, so checkpoints are interchangeable."""
     features: int
     strides: int = 1
     dtype: jnp.dtype = jnp.float32
     im2col_max_cin: int = 32
 
     @nn.compact
-    def __call__(self, x):
-        cin = x.shape[-1]
+    def __call__(self, x, planar: bool = False):
+        cin = x.shape[1] if planar else x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, cin,
                                                        self.features),
@@ -126,13 +170,27 @@ class Conv3x3(nn.Module):
                           (self.features,), jnp.float32)
         kernel = kernel.astype(self.dtype)
         bias = bias.astype(self.dtype)
+        s = self.strides
+        if planar:
+            B, _, H, W = x.shape
+            Ho = -(-H // s)
+            Wo = -(-W // s)
+            xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+            y = None
+            for dh in range(3):
+                for dw in range(3):
+                    sh = xp[:, :, dh:dh + (Ho - 1) * s + 1:s,
+                            dw:dw + (Wo - 1) * s + 1:s]
+                    r = jnp.einsum("bchw,co->bohw", sh, kernel[dh, dw],
+                                   preferred_element_type=self.dtype)
+                    y = r if y is None else y + r
+            return y + bias[None, :, None, None]
         if cin > self.im2col_max_cin:
             y = jax.lax.conv_general_dilated(
-                x, kernel, (self.strides, self.strides), ((1, 1), (1, 1)),
+                x, kernel, (s, s), ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             return y + bias
         B, H, W, _ = x.shape
-        s = self.strides
         Ho = -(-H // s)
         Wo = -(-W // s)
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -146,34 +204,63 @@ class Conv3x3(nn.Module):
         return y + bias
 
 
-class ResidualBlock(nn.Module):
-    """GN→SiLU→3×3 conv ×2 with additive time embedding and 1×1 shortcut
-    (reference model.py:95-130)."""
-    in_channels: int
-    out_channels: int
+class Conv1x1(nn.Module):
+    """1×1 conv ('kernel' [1,1,Ci,Co] / 'bias', nn.Conv-compatible) with
+    NHWC and planar paths."""
+    features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
+    def __call__(self, x, planar: bool = False):
+        cin = x.shape[1] if planar else x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (1, 1, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        if planar:
+            y = jnp.einsum("bchw,co->bohw", x, kernel[0, 0],
+                           preferred_element_type=self.dtype)
+            return y + bias[None, :, None, None]
+        y = jnp.einsum("bhwc,co->bhwo", x, kernel[0, 0],
+                       preferred_element_type=self.dtype)
+        return y + bias
+
+
+class ResidualBlock(nn.Module):
+    """GN→SiLU→3×3 conv ×2 with additive time embedding and 1×1 shortcut
+    (reference model.py:95-130). Runs in NHWC or planar layout."""
+    in_channels: int
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+    planar: bool = False
+
+    @nn.compact
     def __call__(self, x, temb):
-        h = GN(self.in_channels, self.dtype)(x)
+        p = self.planar
+        h = GN(self.in_channels, self.dtype)(x, planar=p)
         h = nn.silu(h)
-        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(
+            h, planar=p)
         t = nn.Dense(self.out_channels, dtype=self.dtype,
                      param_dtype=jnp.float32,
                      name="time_emb")(nn.silu(temb))
-        h = h + t[:, None, None, :]
-        h = GN(self.out_channels, self.dtype)(h)
+        h = h + (t[:, :, None, None] if p else t[:, None, None, :])
+        h = GN(self.out_channels, self.dtype)(h, planar=p)
         h = nn.silu(h)
-        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(h)
+        h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")(
+            h, planar=p)
         if self.in_channels != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
-                        param_dtype=jnp.float32, name="shortcut")(x)
+            x = Conv1x1(self.out_channels, dtype=self.dtype,
+                        name="shortcut")(x, planar=p)
         return h + x
 
 
 class AttentionBlock(nn.Module):
     """Self-attention over H·W tokens with residual (reference model.py:135-155).
-    Scale 1/√√(C/heads) applied to both q and k; softmax in float32."""
+    Scale 1/√√(C/heads) applied to both q and k; softmax in float32.
+    NHWC only — attention sits at deep levels."""
     channels: int
     num_heads: int = 1
     dtype: jnp.dtype = jnp.float32
@@ -202,22 +289,25 @@ class Downsample(nn.Module):
     """3×3 stride-2 conv, pad 1 → ceil(n/2) (reference model.py:175-185)."""
     channels: int
     dtype: jnp.dtype = jnp.float32
+    planar: bool = False
 
     @nn.compact
     def __call__(self, x):
         return Conv3x3(self.channels, strides=2, dtype=self.dtype,
-                       name="op")(x)
+                       name="op")(x, planar=self.planar)
 
 
 class Upsample(nn.Module):
     """Nearest resize to explicit size + 3×3 conv (reference model.py:160-171)."""
     channels: int
     dtype: jnp.dtype = jnp.float32
+    planar: bool = False
 
     @nn.compact
     def __call__(self, x, size):
-        x = nearest_resize(x, size)
-        return Conv3x3(self.channels, dtype=self.dtype, name="conv")(x)
+        x = nearest_resize(x, size, planar=self.planar)
+        return Conv3x3(self.channels, dtype=self.dtype, name="conv")(
+            x, planar=self.planar)
 
 
 class UNetModel(nn.Module):
@@ -227,6 +317,10 @@ class UNetModel(nn.Module):
     each with num_res_blocks residual blocks, optional attention at
     ds ∈ attention_resolutions, and a downsample between levels (not after
     the last). Up path consumes skips in reverse with channel concat.
+
+    Blocks with output channels ≤ planar_max_c execute in planar [B,C,H,W]
+    layout (see module docstring); set planar_max_c=0 to force NHWC
+    everywhere (numerics are identical — covered by tests).
     """
     in_channels: int = 3
     model_channels: int = 128
@@ -236,16 +330,17 @@ class UNetModel(nn.Module):
     channel_mult: Sequence[float] = (1, 2, 2, 2)
     num_heads: int = 4
     dtype: jnp.dtype = jnp.float32
+    planar_max_c: int = 32
     remat: bool = False  # jax.checkpoint each res/attn block: trades one
     #   extra forward in backprop for O(depth) less activation memory —
     #   enables batch>1 training of the 512²/2000×912 UNets in 16G HBM
 
     def plan(self):
-        """Static block plan: (down_plan, middle_ch, up_plan).
+        """Static block plan: (down_plan, middle_ch, up_plan, final_ch).
 
         down_plan: list of entries; each entry is ('stem', ch) or
         ('res', in_ch, out_ch, attn: bool) or ('down', ch).
-        up_plan: list of ('res', in_ch, out_ch, attn, upsample_to_level|None).
+        up_plan: list of ('res', in_ch, out_ch, attn, upsample: bool).
         Mirrors the constructor loops of reference model.py:224-275."""
         mc = self.model_channels
         stem_ch = int(self.channel_mult[0] * mc)
@@ -279,6 +374,9 @@ class UNetModel(nn.Module):
                     ds //= 2
         return down, middle_ch, up, ch
 
+    def _planar(self, ch: int, attn: bool = False) -> bool:
+        return (not attn) and ch <= self.planar_max_c
+
     @nn.compact
     def __call__(self, x, timesteps):
         """x: [B,H,W,C_in] NHWC; timesteps: [B]. Returns [B,H,W,C_out]."""
@@ -294,52 +392,95 @@ class UNetModel(nn.Module):
                        name="time_dense2")(nn.silu(emb))
         emb = emb.astype(self.dtype)
 
+        def fit(h, h_planar, want):
+            if h_planar and not want:
+                return from_planar(h)
+            if want and not h_planar:
+                return to_planar(h)
+            return h
+
+        def spatial(h, h_planar):
+            return (h.shape[2], h.shape[3]) if h_planar else \
+                (h.shape[1], h.shape[2])
+
         h = x.astype(self.dtype)
-        hs = []
+        hp = False  # h currently planar?
+        hs = []     # (tensor, is_planar)
         di = 0
         for entry in down_plan:
             if entry[0] == "stem":
+                want = self._planar(entry[1])
+                h = fit(h, hp, want)
+                hp = want
                 h = Conv3x3(entry[1], dtype=self.dtype,
-                            name=f"down{di}_stem")(h)
+                            name=f"down{di}_stem")(h, planar=hp)
             elif entry[0] == "res":
                 _, in_ch, out_ch, attn = entry
-                h = Res(in_ch, out_ch, self.dtype,
+                want = self._planar(max(in_ch, out_ch), attn)
+                h = fit(h, hp, want)
+                hp = want
+                h = Res(in_ch, out_ch, self.dtype, planar=hp,
                         name=f"down{di}_res")(h, emb)
                 if attn:
                     h = Attn(out_ch, self.num_heads, self.dtype,
                              name=f"down{di}_attn")(h)
             else:  # down
-                h = Downsample(entry[1], self.dtype,
+                want = self._planar(entry[1])
+                h = fit(h, hp, want)
+                hp = want
+                h = Downsample(entry[1], self.dtype, planar=hp,
                                name=f"down{di}_ds")(h)
-            hs.append(h)
+            hs.append((h, hp))
             di += 1
 
-        h = Res(middle_ch, middle_ch, self.dtype,
+        want = self._planar(middle_ch)
+        h = fit(h, hp, want)
+        hp = want
+        h = Res(middle_ch, middle_ch, self.dtype, planar=hp,
                 name="mid_res1")(h, emb)
-        h = Attn(middle_ch, self.num_heads, self.dtype,
-                 name="mid_attn")(h)
-        h = Res(middle_ch, middle_ch, self.dtype,
+        if not hp:
+            h = Attn(middle_ch, self.num_heads, self.dtype,
+                     name="mid_attn")(h)
+        else:
+            # middle attention only exists at deep (NHWC) channel counts in
+            # real configs; planar middles (tiny truncated configs) convert
+            h = from_planar(h)
+            h = Attn(middle_ch, self.num_heads, self.dtype,
+                     name="mid_attn")(h)
+            h = to_planar(h)
+        h = Res(middle_ch, middle_ch, self.dtype, planar=hp,
                 name="mid_res2")(h, emb)
 
-        h_ = hs.pop()
+        h_, h_p = hs.pop()
         for ui, entry in enumerate(up_plan):
             _, in_ch, out_ch, attn, upsample = entry
-            cat_in = jnp.concatenate([h, h_], axis=-1)
+            want = self._planar(out_ch, attn)
+            h = fit(h, hp, want)
+            skip = fit(h_, h_p, want)
+            hp = want
+            cat_axis = 1 if hp else -1
+            cat_in = jnp.concatenate([h, skip], axis=cat_axis)
             if hs:
-                h_ = hs.pop()
-            size = (h_.shape[1], h_.shape[2])
-            h = Res(in_ch, out_ch, self.dtype,
+                h_, h_p = hs.pop()
+            size = spatial(h_, h_p)
+            h = Res(in_ch, out_ch, self.dtype, planar=hp,
                     name=f"up{ui}_res")(cat_in, emb)
             if attn:
                 h = Attn(out_ch, self.num_heads, self.dtype,
                          name=f"up{ui}_attn")(h)
             if upsample:
-                h = Upsample(out_ch, self.dtype, name=f"up{ui}_us")(h, size)
+                h = Upsample(out_ch, self.dtype, planar=hp,
+                             name=f"up{ui}_us")(h, size)
 
-        h = GN(final_ch, self.dtype)(h)
+        want = self._planar(final_ch)
+        h = fit(h, hp, want)
+        hp = want
+        h = GN(final_ch, self.dtype)(h, planar=hp)
         h = nn.silu(h)
         h = Conv3x3(self.out_channels, dtype=self.dtype,
-                    name="out_conv")(h)
+                    name="out_conv")(h, planar=hp)
+        if hp:
+            h = from_planar(h)
         return h.astype(jnp.float32)
 
 

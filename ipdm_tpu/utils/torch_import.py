@@ -40,14 +40,14 @@ import numpy as np
 # (flax leaf path) <- (torch key suffix, transform tag)
 # transform tags: "conv" OIHW->HWIO, "linear" [o,i]->[i,o], "copy"
 _RES_MAP = [
-    (("GN_0", "GroupNorm_0", "scale"), "conv1.0.weight", "copy"),
-    (("GN_0", "GroupNorm_0", "bias"), "conv1.0.bias", "copy"),
+    (("GN_0", "scale"), "conv1.0.weight", "copy"),
+    (("GN_0", "bias"), "conv1.0.bias", "copy"),
     (("conv1", "kernel"), "conv1.2.weight", "conv"),
     (("conv1", "bias"), "conv1.2.bias", "copy"),
     (("time_emb", "kernel"), "time_emb.1.weight", "linear"),
     (("time_emb", "bias"), "time_emb.1.bias", "copy"),
-    (("GN_1", "GroupNorm_0", "scale"), "conv2.0.weight", "copy"),
-    (("GN_1", "GroupNorm_0", "bias"), "conv2.0.bias", "copy"),
+    (("GN_1", "scale"), "conv2.0.weight", "copy"),
+    (("GN_1", "bias"), "conv2.0.bias", "copy"),
     (("conv2", "kernel"), "conv2.2.weight", "conv"),
     (("conv2", "bias"), "conv2.2.bias", "copy"),
 ]
@@ -56,8 +56,8 @@ _RES_SHORTCUT = [
     (("shortcut", "bias"), "shortcut.bias", "copy"),
 ]
 _ATTN_MAP = [
-    (("GN_0", "GroupNorm_0", "scale"), "norm.weight", "copy"),
-    (("GN_0", "GroupNorm_0", "bias"), "norm.bias", "copy"),
+    (("GN_0", "scale"), "norm.weight", "copy"),
+    (("GN_0", "bias"), "norm.bias", "copy"),
     (("qkv", "kernel"), "qkv.weight", "conv"),
     (("proj", "kernel"), "proj.weight", "conv"),
     (("proj", "bias"), "proj.bias", "copy"),
@@ -121,8 +121,8 @@ def key_map(model) -> List[Tuple[Tuple[str, ...], str, str]]:
             out.append(((f"up{ui}_us", "conv", "bias"),
                         f"up_blocks.{ui}.{j}.conv.bias", "copy"))
 
-    out.append((("GN_0", "GroupNorm_0", "scale"), "out.0.weight", "copy"))
-    out.append((("GN_0", "GroupNorm_0", "bias"), "out.0.bias", "copy"))
+    out.append((("GN_0", "scale"), "out.0.weight", "copy"))
+    out.append((("GN_0", "bias"), "out.0.bias", "copy"))
     out.append((("out_conv", "kernel"), "out.2.weight", "conv"))
     out.append((("out_conv", "bias"), "out.2.bias", "copy"))
     return out

@@ -200,3 +200,25 @@ def test_bf16_guided_sampling_close_to_f32():
     a, b = np.asarray(o32[-1]), np.asarray(o16[-1])
     assert np.all(np.isfinite(b))
     assert np.mean(np.abs(a - b)) < 0.05
+
+
+def test_planar_mode_matches_nhwc():
+    """Planar shallow execution (W-minor layout + shift-einsum convs) is a
+    pure layout/lowering change: outputs must match NHWC execution."""
+    import jax
+    cfg = dict(in_channels=1, model_channels=16, out_channels=1,
+               num_res_blocks=2, attention_resolutions=(4,),
+               channel_mult=(0.25, 0.5, 1, 2), num_heads=2)
+    planar = UNetModel(planar_max_c=32, **cfg)
+    nhwc = UNetModel(planar_max_c=0, **cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 25, 22, 1)
+                    .astype(np.float32))
+    t = jnp.asarray(np.array([3, 40], np.int32))
+    params = planar.init(jax.random.PRNGKey(0), x, t)
+    # identical param tree
+    s1 = jax.tree_util.tree_structure(params)
+    s2 = jax.tree_util.tree_structure(nhwc.init(jax.random.PRNGKey(0), x, t))
+    assert s1 == s2
+    y_p = np.asarray(planar.apply(params, x, t))
+    y_n = np.asarray(nhwc.apply(params, x, t))
+    np.testing.assert_allclose(y_p, y_n, atol=2e-5, rtol=1e-4)
