@@ -95,12 +95,14 @@ def main():
             clip=False, eta=0.4, mode="proj", constant_guidance=0.5)
         if verbose:
             log(f"proj stage dispatched {time.time()-t0:.0f}s")
-        # convert each kept iteration (reference proj_denoiser :465)
-        imgs = [fbp_convert(p[..., 0], SIEMENS_FBP) for p in proj_iters]
+        # convert each kept iteration (reference proj_denoiser :465) —
+        # batched into one FBP call (per-item op, exact)
+        stacked = jnp.concatenate([p[..., 0] for p in proj_iters], axis=0)
+        imgs = fbp_convert(stacked, SIEMENS_FBP)
         if verbose:
             jax.block_until_ready(imgs)
             log(f"converts done {time.time()-t0:.0f}s")
-        x = imgs[-1][..., None]
+        x = imgs[-1:][..., None]
         x = tensor_sharpen(x, 70)
         # image stage: 3 × 15 reverse steps
         rng, k = jax.random.split(rng)

@@ -593,10 +593,15 @@ class ProgressiveDomainDenoiser:
                 self.proj_denoise_result[f"iter_{i + 1}"] = _to_nchw(r)
         if save_state:
             if convert:
-                imgs = []
-                for i, r in enumerate(result):
-                    img = self.convertor(G * r[..., 0])[..., None]
-                    imgs.append(img)
+                # one batched convert for all kept iterations (FBP/SART act
+                # per-item, so stacking over the batch axis is exact and
+                # amortizes the convertor's fixed cost ~K×)
+                B = result[0].shape[0]
+                stacked = jnp.concatenate([G * r[..., 0] for r in result],
+                                          axis=0)
+                conv = self.convertor(stacked)[..., None]
+                imgs = [conv[i * B:(i + 1) * B] for i in range(len(result))]
+                for i, img in enumerate(imgs):
                     self.proj_denoise_convert2img_result[f"iter_{i + 1}"] = \
                         _to_nchw(img)
                 return imgs[-1], self.noise_strength

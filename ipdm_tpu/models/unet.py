@@ -176,11 +176,16 @@ class Conv3x3(nn.Module):
             Ho = -(-H // s)
             Wo = -(-W // s)
             xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1)))
+            # For strides, deinterleave W once per tap column (3 lane-strided
+            # slices) and stride H on sublanes afterwards: a single fused
+            # 9-way lane-strided gather measures 29.6 ms at [8,2000,912] on
+            # v5e vs 1.1 ms this way (scripts/probe output in docs/PERF.md)
+            cols = [xp[:, :, :, dw:dw + (Wo - 1) * s + 1:s]
+                    for dw in range(3)]
             y = None
             for dh in range(3):
                 for dw in range(3):
-                    sh = xp[:, :, dh:dh + (Ho - 1) * s + 1:s,
-                            dw:dw + (Wo - 1) * s + 1:s]
+                    sh = cols[dw][:, :, dh:dh + (Ho - 1) * s + 1:s, :]
                     r = jnp.einsum("bchw,co->bohw", sh, kernel[dh, dw],
                                    preferred_element_type=self.dtype)
                     y = r if y is None else y + r
