@@ -42,6 +42,8 @@ def bench(name, model, shape, n=8):
 
 
 if __name__ == "__main__":
+    from ipdm_tpu.utils.comp_cache import enable_persistent_cache
+    enable_persistent_cache()
     img = UNetModel(in_channels=1, model_channels=64, out_channels=1,
                     num_res_blocks=2, attention_resolutions=(16,),
                     channel_mult=(1, 1, 2, 2, 4, 4), remat=True)

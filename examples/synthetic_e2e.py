@@ -164,4 +164,6 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    from ipdm_tpu.utils.comp_cache import enable_persistent_cache
+    enable_persistent_cache()
     main()

@@ -57,6 +57,88 @@ def pad_views(*arrays, axis: int = 0):
 
 
 # ---------------------------------------------------------------------------
+# BP v2: batched, roll-table variant
+# ---------------------------------------------------------------------------
+#
+# The v1 kernel (below) pays one dynamic lane-roll per (view, row, tap) —
+# 2000·512·2 sequential [1, n+128] rolls dominate the fast-FBP runtime
+# (~280 ms per batch item on v5e). v2 restructures:
+#   * the batch dim B rides along inside one kernel call (window starts are
+#     B-independent), so cost is ~B-independent;
+#   * per view, ALL 128 lane-rotations of the [B, L] signal are precomputed
+#     once into a VMEM table (128 rolls instead of 2·n), after which every
+#     window read is a fast 128-aligned dynamic slice T2R[rem, :, base:base+n].
+
+
+def _bp2_kernel(s0_ref, s1_ref, frac_ref, q_ref, out_ref, t2r):
+    blk = pl.program_id(0)
+
+    @pl.when(blk == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    VB, B, L = q_ref.shape
+    n = out_ref.shape[-1]
+
+    for vi in range(VB):  # static unroll over the view block
+        sig = q_ref[vi]                                    # [B, L]
+
+        def roll_body(k, _):
+            t2r[pl.ds(k, 1)] = pltpu.roll(sig, shift=L - k, axis=1)[None]
+            return 0
+
+        jax.lax.fori_loop(0, 128, roll_body, 0)
+
+        def row_body(y, _):
+            s0 = s0_ref[vi, y]
+            s1 = s1_ref[vi, y]
+            f = frac_ref[vi, y]
+            a0 = pl.multiple_of((s0 // 128) * 128, 128)
+            a1 = pl.multiple_of((s1 // 128) * 128, 128)
+            w0 = t2r[pl.ds(s0 - a0, 1), :, pl.ds(a0, n)]   # [1, B, n]
+            w1 = t2r[pl.ds(s1 - a1, 1), :, pl.ds(a1, n)]
+            cur = out_ref[:, pl.ds(y, 1), :]               # [B, 1, n]
+            acc = (1.0 - f) * w0[0] + f * w1[0]            # [B, n]
+            out_ref[:, pl.ds(y, 1), :] = cur + acc[:, None, :]
+            return 0
+
+        jax.lax.fori_loop(0, n, row_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "vb", "interpret"))
+def bp_shift_accumulate_batched(Q: jnp.ndarray, s0: jnp.ndarray,
+                                s1: jnp.ndarray, frac: jnp.ndarray, n: int,
+                                vb: int = 8,
+                                interpret: bool = False) -> jnp.ndarray:
+    """Q: [V, B, L] (L a 128-multiple, windows clamped to L−n−128 by the
+    caller); s0, s1: [V, n] int32; frac: [V, n] (0 on padded views).
+    Returns [B, n, n] = Σ_v two-tap row shifts, all batch items in one pass."""
+    V, B, L = Q.shape
+    assert L % 128 == 0
+    rem = (-V) % vb
+    if rem:
+        Q = jnp.pad(Q, ((0, rem), (0, 0), (0, 0)))
+        s0 = jnp.pad(s0, ((0, rem), (0, 0)))
+        s1 = jnp.pad(s1, ((0, rem), (0, 0)))
+        frac = jnp.pad(frac, ((0, rem), (0, 0)))
+        V += rem
+    return pl.pallas_call(
+        _bp2_kernel,
+        grid=(V // vb,),
+        in_specs=[
+            pl.BlockSpec((vb, n), lambda v: (v, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((vb, n), lambda v: (v, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((vb, n), lambda v: (v, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((vb, B, L), lambda v: (v, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, n, n), lambda v: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, n, n), Q.dtype),
+        scratch_shapes=[pltpu.VMEM((128, B, L), Q.dtype)],
+        interpret=interpret or not _on_tpu(),
+    )(s0, s1, frac, Q)
+
+
+# ---------------------------------------------------------------------------
 # BP: shift rows out of per-view signals, accumulate over views
 # ---------------------------------------------------------------------------
 

@@ -238,16 +238,22 @@ def _bp_group(Pf, p: _FastPlan, view_idx: np.ndarray, xdrive: bool):
         P_g, drive_trig, other_trig)     # [V, B, LqK], [V, n], [V, n], [V, n]
 
     if _use_pallas(n):
-        from ipdm_tpu.ops.pallas.shift import bp_shift_accumulate, pad_views
+        from ipdm_tpu.ops.pallas.shift import (bp_shift_accumulate_batched,
+                                               pad_views)
         # pad flat length to a 128 multiple with roll headroom
         Lpad = (-(LqK + 128)) % 128 + LqK + 128
         T2p = jnp.pad(T2, ((0, 0), (0, 0), (0, Lpad - LqK)))
         s0 = jnp.minimum(start0, Lpad - n - 128)
         s1 = jnp.minimum(start1, Lpad - n - 128)
         s0, s1, fr, T2p = pad_views(s0, s1, o_frac, T2p)
-        outs = [bp_shift_accumulate(T2p[:, bi, :], s0, s1, fr, n)
-                for bi in range(B)]
-        acc = jnp.stack(outs, axis=0)              # [B, n, n]
+        # batch chunking keeps the kernel's 128-rotation VMEM table
+        # (128·Bc·Lpad·4 B) within ~7 MB
+        Bc = max(1, (7 << 20) // (128 * Lpad * 4))
+        outs = []
+        for b0 in range(0, B, Bc):
+            outs.append(bp_shift_accumulate_batched(
+                T2p[:, b0:b0 + Bc, :], s0, s1, fr, n))
+        acc = jnp.concatenate(outs, axis=0)        # [B, n, n]
     else:
         iota = jnp.arange(n, dtype=jnp.int32)[None, :]
 

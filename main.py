@@ -7,6 +7,8 @@ from ipdm_tpu.config.config import default_cfg
 from ipdm_tpu.engine.denoiser import progressive_domain_denoiser
 
 if __name__ == "__main__":
+    from ipdm_tpu.utils.comp_cache import enable_persistent_cache
+    enable_persistent_cache()
     opt = default_cfg()
     model = progressive_domain_denoiser(opt)
     model.fit()

@@ -61,3 +61,23 @@ def test_fast_batch_shapes(setup):
     assert out.shape == (2, 64, 64)
     np.testing.assert_allclose(np.asarray(out[1]), 2 * np.asarray(out[0]),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_bp_kernel_batched_matches_v1():
+    """The batched roll-table BP kernel (v2) reproduces the per-item v1
+    kernel exactly (interpret mode on CPU)."""
+    import jax.numpy as jnp
+    from ipdm_tpu.ops.pallas.shift import (bp_shift_accumulate,
+                                           bp_shift_accumulate_batched)
+    rng = np.random.RandomState(0)
+    V, B, L, n = 16, 3, 512, 128
+    Q = jnp.asarray(rng.rand(V, B, L).astype(np.float32))
+    s0 = jnp.asarray(rng.randint(0, L - n - 128, (V, n)).astype(np.int32))
+    s1 = jnp.minimum(s0 + 1, L - n - 128)
+    fr = jnp.asarray(rng.rand(V, n).astype(np.float32))
+    got = np.asarray(bp_shift_accumulate_batched(Q, s0, s1, fr, n,
+                                                 interpret=True))
+    for b in range(B):
+        want = np.asarray(bp_shift_accumulate(Q[:, b, :], s0, s1, fr, n,
+                                              interpret=True))
+        np.testing.assert_allclose(got[b], want, rtol=1e-6, atol=1e-6)
