@@ -185,8 +185,10 @@ def study_hu_drift(args, eng):
     iteration's output vs the full-dose mean."""
     from ipdm_tpu.data.units import miu2HU, pixel2miu
 
+    eng.update_opt(dict(save_it_state_img=True, save_it_state_proj=True))
     _load_sample(eng, 0)
     eng.progressive_denoiser()
+    eng.reset_opt()
     drift = {"fd_mean_hu": float(np.mean(miu2HU(pixel2miu(eng.fdct)))),
              "ld_mean_hu": float(np.mean(miu2HU(pixel2miu(eng.ldct_np))))}
     for k, v in eng.img_denoise_result.items():

@@ -72,10 +72,15 @@ def pad_views(*arrays, axis: int = 0):
 
 def _bp2_kernel(s0_ref, s1_ref, frac_ref, q_ref, out_ref, t2r):
     blk = pl.program_id(0)
+    # zero derived from a (finite) SMEM read: stays traced even under
+    # jax.ensure_compile_time_eval (a literal jnp.zeros would evaluate
+    # eagerly there and become an illegal captured constant)
+    zf = frac_ref[0, 0] * 0.0
 
     @pl.when(blk == 0)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[...] = jnp.broadcast_to(zf, out_ref.shape).astype(
+            out_ref.dtype)
 
     VB, B, L = q_ref.shape
     n = out_ref.shape[-1]
@@ -156,10 +161,12 @@ def _shifted_window(q_ref, v, start, n):
 
 def _bp_kernel(s0_ref, s1_ref, frac_ref, q_ref, out_ref):
     blk = pl.program_id(0)
+    zf = frac_ref[0, 0] * 0.0  # traced zero (see _bp2_kernel)
 
     @pl.when(blk == 0)
     def _():
-        out_ref[...] = jnp.zeros_like(out_ref)
+        out_ref[...] = jnp.broadcast_to(zf, out_ref.shape).astype(
+            out_ref.dtype)
 
     n = out_ref.shape[0]
 
@@ -210,7 +217,8 @@ def bp_shift_accumulate(Q2: jnp.ndarray, s0: jnp.ndarray, s1: jnp.ndarray,
 
 def _fp_kernel(s0_ref, s1_ref, w0_ref, w1_ref, rows_ref, out_ref):
     n, W = rows_ref.shape
-    out_ref[...] = jnp.zeros_like(out_ref)
+    zf = w0_ref[0, 0] * 0.0    # traced zero (see _bp2_kernel)
+    out_ref[...] = jnp.broadcast_to(zf, out_ref.shape).astype(out_ref.dtype)
 
     def deposit(v, start, vals):
         # vals: [1, W+128] with data in [:W]; write at unaligned start via
@@ -225,7 +233,7 @@ def _fp_kernel(s0_ref, s1_ref, w0_ref, w1_ref, rows_ref, out_ref):
         v = i // n
         y = i % n
         row = rows_ref[pl.ds(y, 1), :]                    # [1, W]
-        z = jnp.zeros((1, 128), row.dtype)
+        z = jnp.broadcast_to(zf, (1, 128)).astype(row.dtype)
         padded = jnp.concatenate([row, z], axis=1)        # [1, W+128]
         deposit(v, s0_ref[v, y], w0_ref[v, y] * padded)
         deposit(v, s1_ref[v, y], w1_ref[v, y] * padded)

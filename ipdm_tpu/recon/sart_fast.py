@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ipdm_tpu.ops.pallas.shift import (VB, bp_shift_accumulate,
+from ipdm_tpu.ops.pallas.shift import (VB, bp_shift_accumulate_batched,
                                        fp_shift_deposit)
 from ipdm_tpu.recon.fbp import FBPGeometry
 from ipdm_tpu.recon.fbp_fast import _FastPlan, _plan_for, _rebin
@@ -205,7 +205,7 @@ class _SartFastPlan:
         s1 = jnp.asarray(grp.pad_v(start1.astype(np.int32)))
         frac = jnp.asarray(grp.pad_v(grp.o_frac))
         T2 = jnp.pad(T2, ((0, s0.shape[0] - T2.shape[0]), (0, 0)))
-        out = bp_shift_accumulate(T2, s0, s1, frac, n)
+        out = bp_shift_accumulate_batched(T2[:, None, :], s0, s1, frac, n)[0]
         return out if grp.xdrive else out.T
 
 
@@ -221,23 +221,42 @@ def _splan_for(g: FBPGeometry, nsubsets: int) -> _SartFastPlan:
     return _SPLANS[k]
 
 
+def _trace_clean() -> bool:
+    try:
+        return jax.core.trace_state_clean()
+    except Exception:
+        return False
+
+
 def _norms_for(sp: _SartFastPlan):
-    """Precompute FP(1) per (subset, branch) and BP(1) per subset."""
-    if sp._norms is None:
-        p = sp.p
-        ones_img = jnp.ones((p.n, p.n), jnp.float32)
-        fp_n = []
-        bp_n = []
-        for s in range(sp.nsubsets):
-            gx, gy = sp.groups[s]
-            fx = sp._fp_group(ones_img, gx)
-            fy = sp._fp_group(ones_img, gy)
-            bx = sp._bp_group(jnp.ones((gx.V, p.Nt), jnp.float32), gx)
-            by = sp._bp_group(jnp.ones((gy.V, p.Nt), jnp.float32), gy)
-            fp_n.append((fx, fy))
-            bp_n.append(bx + by)
-        sp._norms = (fp_n, jnp.stack(bp_n))
-    return sp._norms
+    """Precompute FP(1) per (subset, branch) and BP(1) per subset.
+
+    The cache must only ever hold CONCRETE arrays: when first called from
+    inside an outer jit trace, caching would store tracers and leak them
+    into later calls (UnexpectedTracerError). Inside a trace we recompute —
+    the norm math simply becomes part of the traced program."""
+    if sp._norms is not None:
+        return sp._norms
+    norms = _compute_norms(sp)
+    if _trace_clean():
+        sp._norms = norms
+    return norms
+
+
+def _compute_norms(sp: _SartFastPlan):
+    p = sp.p
+    ones_img = jnp.ones((p.n, p.n), jnp.float32)
+    fp_n = []
+    bp_n = []
+    for s in range(sp.nsubsets):
+        gx, gy = sp.groups[s]
+        fx = sp._fp_group(ones_img, gx)
+        fy = sp._fp_group(ones_img, gy)
+        bx = sp._bp_group(jnp.ones((gx.V, p.Nt), jnp.float32), gx)
+        by = sp._bp_group(jnp.ones((gy.V, p.Nt), jnp.float32), gy)
+        fp_n.append((fx, fy))
+        bp_n.append(bx + by)
+    return (fp_n, jnp.stack(bp_n))
 
 
 @partial(jax.jit, static_argnames=("sp", "nstart", "ntv"))

@@ -100,3 +100,26 @@ def test_simulate_ldct_fast_path(setup):
     r = np.corrcoef(np.asarray(ld)[0, c:-c, c:-c].ravel(),
                     ph.T[c:-c, c:-c].ravel())[0, 1]
     assert r > 0.75, f"corr {r}"
+
+
+def test_sart_convert_under_outer_jit(setup):
+    """sart_fast_convert must be callable from inside a user jit: the norm
+    cache used to capture tracers on first traced call (leak)."""
+    import jax
+    import jax.numpy as jnp
+    from ipdm_tpu.recon.sart_fast import sart_fast_convert, _SPLANS
+    fan, g, ph, proj = setup
+    _SPLANS.clear()  # force first norms computation to happen inside the jit
+    pj = jnp.asarray(proj)[None]
+
+    @jax.jit
+    def f(x):
+        return sart_fast_convert(x, g, nstart=2, nsubsets=6)
+
+    y1 = np.asarray(f(pj))
+    y2 = np.asarray(f(pj))  # second call reuses the (now concrete) plan
+    assert np.isfinite(y1).all()
+    np.testing.assert_allclose(y1, y2, rtol=1e-6)
+    # eager call agrees with the jitted call
+    y3 = np.asarray(sart_fast_convert(pj, g, nstart=2, nsubsets=6))
+    np.testing.assert_allclose(y1, y3, rtol=1e-5, atol=1e-6)
