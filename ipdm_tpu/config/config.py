@@ -122,6 +122,8 @@ class IPDMConfig:
     mesh_shape: Optional[List[int]] = None  # data-parallel mesh, None = all devices
     sart_subsets: int = 40  # ordered-subset count for OS-SART (2000 % subsets == 0)
     sart_nstart: int = 10  # outer SART sweeps (reference nstart=10)
+    sart_sample_rate: int = 1  # sparse-view ART: keep every k-th view
+    #   (recons_torch sample_rate, TASART2DNSL0_PyAPI.cpp:37)
     use_pallas: bool = True  # Pallas fast path for projector/FBP kernels
     native_loader: bool = True  # C++ prefetching batch loader for training
     #   (native/libipdm_native.so via ctypes); silently falls back to the

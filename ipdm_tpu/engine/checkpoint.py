@@ -23,6 +23,31 @@ def save_tree(path: str, tree: Any) -> None:
     ckptr.save(os.path.abspath(path), tree, force=True)
 
 
+def _migrate_gn(tree: Any) -> Any:
+    """Flatten the pre-refactor `GN_*/GroupNorm_0/{scale,bias}` nesting to
+    the current `GN_*/{scale,bias}` structure (GN was once implemented as a
+    wrapper around nn.GroupNorm; old checkpoints carry the extra level)."""
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            v = _migrate_gn(v)
+            if (isinstance(v, dict) and set(v) == {"GroupNorm_0"}
+                    and isinstance(v["GroupNorm_0"], dict)):
+                v = v["GroupNorm_0"]
+            out[k] = v
+        return out
+    return tree
+
+
+def _key_paths(tree: Any, prefix=()) -> set:
+    if isinstance(tree, dict):
+        out = set()
+        for k, v in tree.items():
+            out |= _key_paths(v, prefix + (k,))
+        return out
+    return {prefix}
+
+
 def load_tree(path: str, target: Optional[Any] = None) -> Any:
     ckptr = _checkpointer()
     if target is not None:
@@ -32,8 +57,32 @@ def load_tree(path: str, target: Optional[Any] = None) -> Any:
                                  restore_args=ocp.checkpoint_utils.
                                  construct_restore_args(target))
         except Exception:
-            pass
+            # Structure mismatch: restore raw, migrate known legacy
+            # layouts, and fail loudly if it still doesn't line up (a
+            # silent target-less fallback would only surface later as a
+            # confusing missing-param error inside model.apply).
+            raw = _migrate_gn(ckptr.restore(os.path.abspath(path)))
+            want = _key_paths(_to_plain(target))
+            got = _key_paths(_to_plain(raw))
+            if want and got != want:
+                missing = sorted("/".join(p) for p in want - got)[:5]
+                extra = sorted("/".join(p) for p in got - want)[:5]
+                raise ValueError(
+                    f"checkpoint {path} does not match the target "
+                    f"structure (after legacy-GN migration). missing="
+                    f"{missing} extra={extra} — the checkpoint likely "
+                    "predates a model refactor; re-save or convert it.")
+            return raw
     return ckptr.restore(os.path.abspath(path))
+
+
+def _to_plain(tree: Any) -> Any:
+    """Unwrap FrozenDict-like containers to plain dicts for comparison."""
+    if hasattr(tree, "items") and not isinstance(tree, dict):
+        tree = dict(tree.items())
+    if isinstance(tree, dict):
+        return {k: _to_plain(v) for k, v in tree.items()}
+    return tree
 
 
 class CheckpointManager:

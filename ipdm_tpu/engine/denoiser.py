@@ -264,7 +264,8 @@ class ProgressiveDomainDenoiser:
         self.convertor = Convertor(convertor, ntv=self.opt.ntv,
                                    nstart=self.opt.sart_nstart,
                                    nsubsets=self.opt.sart_subsets,
-                                   geom=geom, exact_fbp=self.opt.exact_fbp)
+                                   geom=geom, exact_fbp=self.opt.exact_fbp,
+                                   sample_rate=self.opt.sart_sample_rate)
 
     def _init_training(self):
         opt = self.opt
@@ -327,6 +328,26 @@ class ProgressiveDomainDenoiser:
                                   self.proj_model, self.proj_params)
             if t is not None:
                 self.proj_params = t
+        # Resume: sync restored params into the train state and reload the
+        # optimizer state + step, so Adam moments survive a restart (the
+        # reference restores every registered module incl. 'optimizer' —
+        # Utils/loggerx.py:71-80, registration train_test_utils.py:169-171).
+        if self.train_state is not None and self.train_resume_epochs > 0:
+            domain = self._train_domain
+            params = (self.proj_params if domain == "proj"
+                      else self.img_params)
+            load_dir = (opt.load_proj_model_path if domain == "proj"
+                        else opt.load_img_model_path)
+            opt_state = self.ckpt.load("optimizer", self.train_resume_epochs,
+                                       target=self.train_state.opt_state,
+                                       load_dir=load_dir)
+            step = jnp.asarray(self.train_resume_epochs * opt.save_freq
+                               // opt.batch_size, jnp.int32)
+            self.train_state = TrainState(
+                params=params,
+                opt_state=(opt_state if opt_state is not None
+                           else self.train_state.opt_state),
+                step=step)
 
     def checkpoints(self, epoch: int):
         if self._train_domain == "proj":

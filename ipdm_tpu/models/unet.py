@@ -459,7 +459,14 @@ class UNetModel(nn.Module):
         h_, h_p = hs.pop()
         for ui, entry in enumerate(up_plan):
             _, in_ch, out_ch, attn, upsample = entry
-            want = self._planar(out_ch, attn)
+            # Up blocks always concat a skip, so in_ch = out_ch + skip_ch:
+            # gating on max(in,out) like the down path would force every
+            # shallow up block NHWC. Instead allow planar for the routine
+            # within-level concat (in ≤ 2·planar_max_c) but keep the
+            # deep-skip level transitions (in ≫ planar_max_c) in NHWC,
+            # where GN/conv1/shortcut at large C are faster.
+            want = (self._planar(out_ch, attn)
+                    and in_ch <= 2 * self.planar_max_c)
             h = fit(h, hp, want)
             skip = fit(h_, h_p, want)
             hp = want

@@ -77,7 +77,8 @@ class Convertor:
     def __init__(self, kind: str, ntv: int = 0, nstart: int = 10,
                  nsubsets: int = 40, geom: FanBeamGeometry = SIEMENS,
                  fbp_geom: Optional[FBPGeometry] = None,
-                 exact_fbp: bool = False, exact_art: bool = False):
+                 exact_fbp: bool = False, exact_art: bool = False,
+                 sample_rate: int = 1):
         assert kind in ("FBP", "ART", "TV")
         self.kind = kind
         self.geom = geom
@@ -99,6 +100,7 @@ class Convertor:
         self.ntv = ntv if kind != "TV" else max(ntv, 1)
         self.nstart = nstart
         self.nsubsets = nsubsets
+        self.sample_rate = sample_rate
 
     def convert(self, pj: jnp.ndarray) -> jnp.ndarray:
         if self.kind == "FBP":
@@ -109,10 +111,12 @@ class Convertor:
         if self.exact_art:
             return recons(pj, self.geom, self.lut, self.betas,
                           nstart=self.nstart, ntv=self.ntv,
-                          nsubsets=self.nsubsets, permute=True)
+                          nsubsets=self.nsubsets,
+                          sample_rate=self.sample_rate, permute=True)
         from ipdm_tpu.recon.sart_fast import sart_fast_convert
         return sart_fast_convert(pj, self.fbp_geom, nstart=self.nstart,
-                                 ntv=self.ntv, nsubsets=self.nsubsets)
+                                 ntv=self.ntv, nsubsets=self.nsubsets,
+                                 sample_rate=self.sample_rate)
 
     def project(self, volume: jnp.ndarray) -> jnp.ndarray:
         return project(volume, self.geom, self.lut, self.betas)

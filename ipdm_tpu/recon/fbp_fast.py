@@ -247,8 +247,8 @@ def _bp_group(Pf, p: _FastPlan, view_idx: np.ndarray, xdrive: bool):
         s1 = jnp.minimum(start1, Lpad - n - 128)
         s0, s1, fr, T2p = pad_views(s0, s1, o_frac, T2p)
         # batch chunking keeps the kernel's 128-rotation VMEM table
-        # (128·Bc·Lpad·4 B) within ~7 MB
-        Bc = max(1, (7 << 20) // (128 * Lpad * 4))
+        # (128·Bc·Lpad·itemsize B) within ~7 MB
+        Bc = max(1, (7 << 20) // (128 * Lpad * T2p.dtype.itemsize))
         outs = []
         for b0 in range(0, B, Bc):
             outs.append(bp_shift_accumulate_batched(
