@@ -1,23 +1,34 @@
 """Headline benchmark: full IPDM progressive dual-domain denoise throughput.
 
 Measures end-to-end 512² CT slices/sec/chip for the complete IPDM inference
-pipeline (BASELINE.json config #2): projection-domain guided partial diffusion
-(t_start_proj=[15,15,15], 2000×912 sinogram UNet) → FBP conversion per
-iteration → sharpen → image-domain guided partial diffusion
-(t_start_img=[15,15,15], 512² UNet) — 90 UNet evals + 3 FBP per slice, all
-on-device.
+pipeline in the REFERENCE-DEFAULT flagship configuration
+(Config/Mayo-Config/test_progressive_option.json + default_config.py in
+/root/reference):
+
+  * projection stage: 3×15 guided reverse steps on the 2000×912 sinogram
+    UNet with the ADAPTIVE per-pixel-λ schedule (constant_guidance_proj is
+    None in the preset → cosine λ on iter 0, per-pixel λ map afterwards,
+    model.py:549-560);
+  * ART conversion: one batched OS-SART reconstruction of all 3 kept
+    iterations (recons_torch semantics, nstart=10);
+  * image stage: 3×15 guided steps at constant λ=0.45, η=0.7, then the
+    ULTRA pass (t_start=[5,5,5], λ=0.6, η=0.6 — train_test_utils.py:515-536;
+    ultra_img_denoise defaults True);
+  * no FBP sharpen (the reference gates it on convertor=="FBP").
+
+Total: 105 UNet evals + 1 batched(3) SART per slice, all on-device.
+`python bench.py --convertor FBP` runs the lighter FBP+constant-λ pipeline
+(90 evals + batched FBP) that was round 1's headline.
 
 Weights are randomly initialised (throughput is weight-independent); shapes,
-architectures and NFE counts are the reference's test_prog configuration
-(Config/Mayo-Config/test_progressive_option.json in /root/reference).
+architectures and NFE counts are the reference's.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.json
-"published" == {}). The denominator used here is an ESTIMATE of the reference
-pipeline on its stated RTX 4090: ~90 UNet evals (45 on the 2000×912 sinogram,
-45 on 512²) plus 3 domain conversions, conservatively ≈ 0.05 slices/sec
-(≈ 20 s/slice) based on the per-eval FLOP count at the reference's fp32
-single-stream execution. Treat vs_baseline as indicative until a measured
-reference number exists.
+"published" == {}). The denominator is an ESTIMATE of the reference pipeline
+on its stated RTX 4090: ART mode ≈ 105 fp32 single-stream UNet evals
+(~20-23 s) + 3 native CUDA SART recons (10×2000 sequential per-angle sweeps,
+~2-4 s each) ≈ 0.035 slices/sec; FBP mode ≈ 0.05 slices/sec. Treat
+vs_baseline as indicative until a measured reference number exists.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,19 +36,33 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-REF_SLICES_PER_SEC_EST = 0.05  # estimated RTX4090 reference (see docstring)
+REF_ART_SLICES_PER_SEC_EST = 0.035  # estimated RTX4090 flagship (docstring)
+REF_FBP_SLICES_PER_SEC_EST = 0.05
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _cache_entries():
+    d = os.path.expanduser("~/.cache/jax_comp_cache")
+    try:
+        return sum(len(fs) for _, _, fs in os.walk(d))
+    except OSError:
+        return 0
+
+
 def main():
+    art_mode = True
+    if "--convertor" in sys.argv:
+        art_mode = sys.argv[sys.argv.index("--convertor") + 1] != "FBP"
+
     from ipdm_tpu.utils.comp_cache import enable_persistent_cache
     enable_persistent_cache()
     import jax
@@ -46,12 +71,15 @@ def main():
     from ipdm_tpu.diffusion.diffusion import GaussianDiffusion
     from ipdm_tpu.diffusion.guided import guided_reverse_process
     from ipdm_tpu.models.unet import UNetModel
+    from ipdm_tpu.ops.lambda_curve import proj_curve_init
     from ipdm_tpu.ops.sharpen import tensor_sharpen
     from ipdm_tpu.recon.fbp import SIEMENS_FBP
     from ipdm_tpu.recon.fbp_fast import fbp_convert_fast as fbp_convert
 
     dev = jax.devices()[0]
-    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+    log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')} "
+        f"mode: {'ART(flagship)' if art_mode else 'FBP'}")
+    cache0 = _cache_entries()
 
     rng = jax.random.PRNGKey(0)
 
@@ -83,65 +111,113 @@ def main():
     gd_proj = GaussianDiffusion(1000, "cosine")
     img_fn = lambda x, t: img_model.apply(img_params, x, t)
     proj_fn = lambda x, t: proj_model.apply(proj_params, x, t)
+    proj_curve = proj_curve_init()
 
     # --- synthetic inputs -------------------------------------------------
     host = np.random.default_rng(0)
     ld_proj = jnp.asarray(host.random((1, 2000, 912, 1), np.float32) * 4.0)
     ld_img = jnp.asarray(host.random((1, 512, 512, 1), np.float32) * 0.3)
 
-    # the ENTIRE slice is one jitted program (proj stage → 3 batched FBP
-    # converts → sharpen → img stage): inner jits inline under the outer
-    # trace, so the ~7 per-slice relay dispatches (~60 ms latency each)
-    # collapse to one. Identical math/work to the dispatch-per-phase path.
+    if art_mode:
+        from ipdm_tpu.recon.sart_fast import sart_fast_convert
+
+        def convert(stacked):
+            return sart_fast_convert(stacked, SIEMENS_FBP, nstart=10,
+                                     ntv=0, nsubsets=40)
+    else:
+        def convert(stacked):
+            return fbp_convert(stacked, SIEMENS_FBP)
+
+    # The slice runs in as few device programs as possible: FBP mode is ONE
+    # jitted program end-to-end (round 1's headline). ART flagship mode has
+    # a data-dependent λ probe in the adaptive proj stage (one scalar
+    # readback between two fused programs, reference model.py:554-560), so
+    # it is proj-stage programs + ONE jitted tail (batched SART → img stage
+    # → ultra pass). Identical math/work to the dispatch-per-phase path.
     @jax.jit
-    def one_slice(rng, ld_proj, ld_img):
-        # projection stage: 3 × 15 reverse steps, constant guidance
-        rng, k = jax.random.split(rng)
-        proj_iters, _, _ = guided_reverse_process(
-            proj_fn, gd_proj, ld_proj, k, t_start=[15, 15, 15],
-            clip=False, eta=0.4, mode="proj", constant_guidance=0.5)
-        # convert each kept iteration (reference proj_denoiser :465) —
-        # batched into one FBP call (per-item op, exact)
-        stacked = jnp.concatenate([p[..., 0] for p in proj_iters], axis=0)
-        imgs = fbp_convert(stacked, SIEMENS_FBP)
+    def tail(rng, proj_iters_in, ld_img):
+        stacked = jnp.concatenate([p[..., 0] for p in proj_iters_in], axis=0)
+        imgs = convert(stacked)
         x = imgs[-1:][..., None]
-        x = tensor_sharpen(x, 70)
-        # image stage: 3 × 15 reverse steps
+        if not art_mode:
+            x = tensor_sharpen(x, 70)  # fbp_sharpen gates on convertor==FBP
+        # image stage: 3 × 15 reverse steps, constant λ (preset: 0.45)
         rng, k = jax.random.split(rng)
         img_iters, _, _ = guided_reverse_process(
             img_fn, gd_img, x, k, t_start=[15, 15, 15],
             clip=True, eta=0.7, mode="img", constant_guidance=0.45,
             ldct=ld_img)
+        if art_mode:
+            # ultra pass (reference default ultra_img_denoise=True)
+            rng, k = jax.random.split(rng)
+            ultra, _, _ = guided_reverse_process(
+                img_fn, gd_img, img_iters[-1], k, t_start=[5, 5, 5],
+                clip=True, eta=0.6, mode="img", constant_guidance=0.6,
+                ldct=ld_img)
+            return ultra[-1]
         return img_iters[-1]
+
+    if art_mode:
+        def run_slice(seed):
+            rng = jax.random.PRNGKey(seed)
+            rng, k = jax.random.split(rng)
+            # adaptive per-pixel λ (constant_guidance_proj=None in preset)
+            iters, _, _ = guided_reverse_process(
+                proj_fn, gd_proj, ld_proj, k, t_start=[15, 15, 15],
+                clip=False, eta=0.5, mode="proj", constant_guidance=None,
+                lambda_ratio=1, lambda_curve=proj_curve, kernel_size=4,
+                amplitude=7)
+            return tail(rng, iters, ld_img)
+    else:
+        @jax.jit
+        def run_one(rng, ld_proj, ld_img):
+            rng, k = jax.random.split(rng)
+            iters, _, _ = guided_reverse_process(
+                proj_fn, gd_proj, ld_proj, k, t_start=[15, 15, 15],
+                clip=False, eta=0.4, mode="proj", constant_guidance=0.5)
+            return tail(rng, iters, ld_img)
+
+        def run_slice(seed):
+            return run_one(jax.random.PRNGKey(seed), ld_proj, ld_img)
 
     # --- warmup (compile) -------------------------------------------------
     t0 = time.time()
-    out = one_slice(jax.random.PRNGKey(1), ld_proj, ld_img)
+    out = run_slice(1)
     _ = float(out.sum())   # full drain: block_until_ready is not reliable
     #                        for every buffer type through the axon relay
-    log(f"warmup (compile): {time.time()-t0:.1f}s")
+    cache1 = _cache_entries()
+    log(f"warmup (compile): {time.time()-t0:.1f}s  "
+        f"[comp-cache entries {cache0} -> {cache1}: "
+        f"{'MISS (compiled anew)' if cache1 > cache0 else 'HIT'}]")
 
     # --- timed ------------------------------------------------------------
     # One scalar readback after ALL slices: each slice is a distinct
     # execution (fresh rng), the final sum depends on every output, and
     # in-flight slices pipeline across the relay instead of paying a
     # serialization round-trip per slice. (Per-slice fencing measured
-    # ~0.15 s/slice of pure relay latency.)
+    # ~0.15 s/slice of pure relay latency.) The adaptive proj path fences
+    # once per slice internally (its λ probe) — that is part of the
+    # pipeline's real cost and is included.
     n = 6
     t0 = time.time()
     outs = []
     for i in range(n):
-        outs.append(one_slice(jax.random.PRNGKey(2 + i), ld_proj, ld_img))
+        outs.append(run_slice(2 + i))
     _ = float(jnp.stack(outs).sum())   # full drain
     dt = (time.time() - t0) / n
     slices_per_sec = 1.0 / dt
-    log(f"{dt:.2f} s/slice, {slices_per_sec:.3f} slices/sec/chip")
+    log(f"{dt:.2f} s/slice, {slices_per_sec:.3f} slices/sec/chip (n={n})")
 
+    est = (REF_ART_SLICES_PER_SEC_EST if art_mode
+           else REF_FBP_SLICES_PER_SEC_EST)
+    metric = ("ipdm_progressive_art_512px_slices_per_sec_per_chip"
+              if art_mode else
+              "ipdm_progressive_512px_slices_per_sec_per_chip")
     print(json.dumps({
-        "metric": "ipdm_progressive_512px_slices_per_sec_per_chip",
+        "metric": metric,
         "value": round(slices_per_sec, 4),
         "unit": "slices/sec/chip",
-        "vs_baseline": round(slices_per_sec / REF_SLICES_PER_SEC_EST, 2),
+        "vs_baseline": round(slices_per_sec / est, 2),
     }))
 
 

@@ -211,6 +211,100 @@ def bp_shift_accumulate(Q2: jnp.ndarray, s0: jnp.ndarray, s1: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# FP v2: plane-deposit variant (batched, roll-free row loop)
+# ---------------------------------------------------------------------------
+#
+# The v1 deposit kernel (below) pays, per (view, row, tap): one dynamic lane
+# roll of the [1, W+128] row plus an unaligned read-modify-write — 2·n
+# sequential roll+RMW pairs per view dominate the fast-SART runtime. v2 is
+# the write-side mirror of the BP v2 roll-table idea:
+#   * deposits land UNROLLED in a [128, B, L] plane scratch indexed by the
+#     offset residue (rem = start % 128) at the 128-aligned base — no
+#     per-row roll at all;
+#   * after the row loop, the 128 planes are combined with 128 rolls per
+#     view (amortized over the 2·n row deposits), accumulated into the
+#     output signal;
+#   * rows are UNSTUFFED (width n, not n·Kf): the caller passes flat starts
+#     into the (k, r)-transposed fine layout T[k·Lq + r] = fine[r·Kf + k],
+#     where a stuffed-row deposit becomes a contiguous width-n deposit
+#     inside one k-plane — half the VMEM/bandwidth of stuffed rows;
+#   * the batch dim B rides inside the call (starts are B-independent).
+
+
+def _fp2_kernel(s0_ref, s1_ref, w0_ref, w1_ref, rows_ref, out_ref, planes):
+    VBk, B, L = out_ref.shape
+    n = rows_ref.shape[0]
+    W = rows_ref.shape[2]
+    zf = w0_ref[0, 0] * 0.0    # traced zero (see _bp2_kernel)
+
+    for vi in range(VBk):      # static unroll over the view block
+        planes[...] = jnp.broadcast_to(zf, planes.shape).astype(planes.dtype)
+
+        def row_body(y, _):
+            row = rows_ref[pl.ds(y, 1)]                        # [1, B, W]
+
+            def tap(s_ref_, w_ref_):
+                start = s_ref_[vi, y]
+                base = pl.multiple_of((start // 128) * 128, 128)
+                rem = start - base
+                cur = planes[pl.ds(rem, 1), :, pl.ds(base, W)]
+                planes[pl.ds(rem, 1), :, pl.ds(base, W)] = (
+                    cur + w_ref_[vi, y] * row)
+
+            tap(s0_ref, w0_ref)
+            tap(s1_ref, w1_ref)
+            return 0
+
+        jax.lax.fori_loop(0, n, row_body, 0)
+
+        def comb_body(k, acc):
+            # plane k holds deposits whose true start ≡ k (mod 128), written
+            # at their aligned base: shift right by k to realign. Tail
+            # headroom (L ≥ max start + W + 128) keeps the wrap zero-only.
+            pk = planes[pl.ds(k, 1)][0]                        # [B, L]
+            return acc + pltpu.roll(pk, shift=k, axis=1)
+
+        z0 = jnp.broadcast_to(zf, (B, L)).astype(out_ref.dtype)
+        out_ref[pl.ds(vi, 1)] = jax.lax.fori_loop(
+            0, 128, comb_body, z0)[None]
+
+
+@functools.partial(jax.jit, static_argnames=("L", "vb", "interpret"))
+def fp_plane_deposit(rows: jnp.ndarray, s0: jnp.ndarray, s1: jnp.ndarray,
+                     w0: jnp.ndarray, w1: jnp.ndarray, L: int, vb: int = 8,
+                     interpret: bool = False) -> jnp.ndarray:
+    """rows: [n, B, W] (W a 128-multiple, zero-padded past the data);
+    s0, s1: [V, n] int32 flat starts in [0, L−W−128]; w0, w1: [V, n] tap
+    weights (zero on padded views). Returns [V, B, L] with
+    out[v, :, s{t}[v,y]+j] += w{t}[v,y]·rows[y,:,j] for both taps t."""
+    V = s0.shape[0]
+    n, B, W = rows.shape
+    assert L % 128 == 0 and W % 128 == 0
+    rem = (-V) % vb
+    if rem:
+        s0 = jnp.pad(s0, ((0, rem), (0, 0)))
+        s1 = jnp.pad(s1, ((0, rem), (0, 0)))
+        w0 = jnp.pad(w0, ((0, rem), (0, 0)))
+        w1 = jnp.pad(w1, ((0, rem), (0, 0)))
+        V += rem
+    return pl.pallas_call(
+        _fp2_kernel,
+        grid=(V // vb,),
+        in_specs=[
+            pl.BlockSpec((vb, n), lambda v: (v, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((vb, n), lambda v: (v, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((vb, n), lambda v: (v, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((vb, n), lambda v: (v, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, B, W), lambda v: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((vb, B, L), lambda v: (v, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((V, B, L), rows.dtype),
+        scratch_shapes=[pltpu.VMEM((128, B, L), rows.dtype)],
+        interpret=interpret or not _on_tpu(),
+    )(s0, s1, w0, w1, rows)
+
+
+# ---------------------------------------------------------------------------
 # FP: deposit rows into per-view signals at per-row offsets
 # ---------------------------------------------------------------------------
 

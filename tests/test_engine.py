@@ -109,6 +109,135 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+# -- proj / progressive modes (train_test_utils.py:274-324, 552-567) --------
+
+GEO_TINY = dict(nx=32, ny=32, dx=42 / 32, dy=42 / 32, nr=64,
+                dr=0.0010125 * 912 / 64, na=60, ta_dimx=401, ta_dimy=91)
+
+
+@pytest.fixture(scope="module")
+def prog_root(tmp_path_factory):
+    """Tiny 4-stream dataset (2 slices) on the GEO_TINY scanner."""
+    import jax.numpy as jnp
+    from ipdm_tpu.recon.geometry import (FanBeamGeometry, area_lut,
+                                         default_betas)
+    from ipdm_tpu.recon.phantom import shepp_logan
+    from ipdm_tpu.recon.projector import forward_project
+
+    root = str(tmp_path_factory.mktemp("prog_data"))
+    g = FanBeamGeometry(**GEO_TINY)
+    lut = jnp.asarray(area_lut(g))
+    betas = jnp.asarray(default_betas(g))
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        ph = np.asarray(shepp_logan(32), np.float32) * 0.03 * (1 + 0.1 * i)
+        proj = np.asarray(forward_project(jnp.asarray(ph), g, lut, betas))
+        ld_proj = proj + rng.normal(0, 0.02 * proj.max(),
+                                    proj.shape).astype(np.float32)
+        for kind, arr in (("fd_img", ph.T), ("ld_img", ph.T),
+                          ("fd_proj", proj), ("ld_proj", ld_proj)):
+            d = os.path.join(root, kind, "L001")
+            os.makedirs(d, exist_ok=True)
+            np.save(os.path.join(d, f"{i:03d}.npy"), arr)
+    return root
+
+
+def _prog_opt(root, mode, **kw):
+    opt = IPDMConfig(
+        mode=mode, run_name="p", batch_size=1, test_batch_size=1,
+        max_epochs=2, save_freq=2, test_numbers=1, init_lr=1e-3,
+        convertor="FBP", fbp_sharpen=True, ultra_img_denoise=False,
+        model_channels_img=8, channel_mult_img=[1, 1, 2],
+        attention_resolutions_img=[4], timesteps_img=50,
+        partial_timesteps_img=10, t_start_img=[3, 2],
+        constant_guidance_img=0.45,
+        model_channels_proj=8, channel_mult_proj=[1, 1, 2],
+        attention_resolutions_proj=[4], timesteps_proj=50,
+        partial_timesteps_proj=10, t_start_proj=[3, 2],
+        constant_guidance_proj=0.5, sart_nstart=2, sart_subsets=6,
+        metrics=["psnr", "ssim"], geometry=GEO_TINY,
+        patch=[16, 16], patch_per_image=2,
+        train_dataset_path_LD_proj=os.path.join(root, "ld_proj"),
+        train_dataset_path_FD_proj=os.path.join(root, "fd_proj"),
+        test_dataset_path_LD_img=os.path.join(root, "ld_img"),
+        test_dataset_path_FD_img=os.path.join(root, "fd_img"),
+        test_dataset_path_LD_proj=os.path.join(root, "ld_proj"),
+        test_dataset_path_FD_proj=os.path.join(root, "fd_proj"),
+    )
+    for k, v in kw.items():
+        setattr(opt, k, v)
+    return opt
+
+
+@pytest.mark.slow
+def test_train_proj_end_to_end(prog_root, tmp_path):
+    """train_proj: sinogram-domain DDPM training loop + checkpoints
+    (reference train_test_utils.py:253-272 with mode=train_proj)."""
+    opt = _prog_opt(prog_root, "train_proj", test_numbers=0)
+    eng = ProgressiveDomainDenoiser(opt, result_save_path=str(tmp_path / "o"))
+    eng.fit()
+    assert int(eng.train_state.step) == opt.max_iter
+    assert eng.ckpt.load("proj_model", 1) is not None
+    assert eng.ckpt.load("optimizer", 1) is not None
+
+
+@pytest.mark.slow
+def test_test_proj_end_to_end(prog_root, tmp_path):
+    """test_proj: proj-domain denoise + batched per-iteration convert →
+    deProj + deProj2img metric groups (train_test_utils.py:301-306)."""
+    opt = _prog_opt(prog_root, "test_proj")
+    eng = ProgressiveDomainDenoiser(opt, result_save_path=str(tmp_path / "o"))
+    eng.fit()
+    metrics = glob.glob(os.path.join(
+        eng.save_root_path, "Save_Iter_0", "L001", "*", "metric.json"))
+    assert len(metrics) == 1
+    with open(metrics[0]) as f:
+        mi = json.load(f)
+    # per-iteration converted-image metrics (2 t_start iters + ensemble)
+    assert {"psnr_iter_1", "psnr_iter_2", "psnr_iter_3"} <= \
+        set(mi["deProj2img"])
+    assert all(np.isfinite(v) for v in mi["deProj2img"].values())
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("convertor", ["FBP", "ART"])
+def test_test_prog_end_to_end(prog_root, tmp_path, convertor):
+    """test_prog: the flagship progressive pipeline (proj stage → convert →
+    sharpen → img stage → ultra pass) with both convertors."""
+    opt = _prog_opt(prog_root, "test_prog", convertor=convertor,
+                    ultra_img_denoise=True, save_it_state_img=True)
+    eng = ProgressiveDomainDenoiser(opt, result_save_path=str(tmp_path / "o"))
+    eng.fit()
+    metrics = glob.glob(os.path.join(
+        eng.save_root_path, "Save_Iter_0", "L001", "*", "metric.json"))
+    with open(metrics[0]) as f:
+        mi = json.load(f)
+    assert "psnr_iter_1" in mi["deProj"]
+    # save_it_state_img=True keeps every iteration: 3 (2 t_start + ensemble)
+    # + 4 from the ultra pass (3 + ensemble) = 7
+    assert "psnr_iter_7" in mi["deProg"], sorted(mi["deProg"])
+    assert all(np.isfinite(v) for v in mi["deProg"].values())
+
+
+@pytest.mark.slow
+def test_prog_adaptive_and_proj_state(prog_root, tmp_path):
+    """Adaptive proj schedule (t_start_proj=None & constant=None classifies
+    noise strength, model.py:596-613) + save_proj_state stores raw proj
+    iterations (train_test_utils.py:431-444)."""
+    opt = _prog_opt(prog_root, "test_prog", t_start_proj=None,
+                    constant_guidance_proj=None)
+    eng = ProgressiveDomainDenoiser(opt, result_save_path=str(tmp_path / "o"))
+    # manual drive (test() would re-run the whole harness)
+    ld_img, fd_proj, fd_img, ld_proj = eng.test_dataset[0]
+    eng.data_sample_load(ldct=ld_img[None], ldproj=ld_proj[None],
+                         fdproj=fd_proj, fdct=fd_img[None])
+    res = eng.progressive_denoiser(save_proj_state=True)
+    assert eng.noise_strength in ("high", "mid", "low")
+    assert res.shape[1:3] == (32, 32)
+    assert "iter_1" in eng.proj_denoise_result
+
+
+@pytest.mark.slow
 def test_resume_restores_optimizer_state(tmp_path):
     """Resume must restore params INTO the train state plus the optimizer
     state and step (reference loggerx.py:71-80 restores every registered
@@ -169,6 +298,7 @@ def test_result_temp_dict_indexing():
     assert r[1] == "a" and r[2] == "b" and r[-1] == "b"
 
 
+@pytest.mark.slow
 def test_figure_save_writes_pngs(tmp_path):
     """display_result path: annotated PNG grids land in the artifact dir
     (reference figure modes, train_test_utils.py:596-763)."""
@@ -186,6 +316,7 @@ def test_figure_save_writes_pngs(tmp_path):
     assert arrs["iter_1"].shape[1] == 1  # NCHW artifact layout
 
 
+@pytest.mark.slow
 def test_yeo_johnson_mode_end_to_end(tmp_path):
     """opt.normal: inputs Gaussianised before the sampler, results
     inverse-transformed (reference model.py:762-807 path)."""
@@ -199,6 +330,7 @@ def test_yeo_johnson_mode_end_to_end(tmp_path):
     assert np.isfinite(mi["deImg"]["psnr_iter_1"])
 
 
+@pytest.mark.slow
 def test_benchmark_test_mode_scores_convertor_only(tmp_path):
     """benchmark_test short-circuits the diffusion (reference
     model.py:521-523): deImg metrics equal the LDCT input's."""

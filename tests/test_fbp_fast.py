@@ -32,6 +32,7 @@ def _psnr(a, b):
     return 10 * np.log10(rng ** 2 / err)
 
 
+@pytest.mark.slow
 def test_fast_matches_direct_fbp(setup):
     g, ph, proj = setup
     direct = np.asarray(fbp_convert(jnp.asarray(proj[None]), g))[0]
@@ -46,6 +47,7 @@ def test_fast_matches_direct_fbp(setup):
     assert abs(scale - 1.0) < 0.05, f"scale {scale}"
 
 
+@pytest.mark.slow
 def test_fast_reconstructs_phantom(setup):
     g, ph, proj = setup
     fast = np.asarray(fbp_convert_fast(jnp.asarray(proj[None]), g))[0]
@@ -55,6 +57,7 @@ def test_fast_reconstructs_phantom(setup):
     assert p > 18.0, f"phantom PSNR {p}"
 
 
+@pytest.mark.slow
 def test_fast_batch_shapes(setup):
     g, _, proj = setup
     out = fbp_convert_fast(jnp.asarray(np.stack([proj, proj * 2])), g)

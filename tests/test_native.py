@@ -67,6 +67,7 @@ def test_native_lut_matches_python(small_geom):
     np.testing.assert_allclose(got, ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_native_fp_matches_jax(small_geom):
     import jax.numpy as jnp
     from ipdm_tpu.recon.geometry import area_lut, default_betas
@@ -83,6 +84,7 @@ def test_native_fp_matches_jax(small_geom):
     np.testing.assert_allclose(got / scale, ref / scale, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_native_sart_matches_jax(small_geom):
     import jax.numpy as jnp
     from ipdm_tpu.recon.geometry import area_lut, default_betas

@@ -59,6 +59,7 @@ def test_footprint_areas_sum_to_voxel():
     np.testing.assert_allclose(sums[covered], SMALL.vox_base, rtol=5e-3)
 
 
+@pytest.mark.slow
 def test_fp_bp_adjointness():
     """⟨FP x, y⟩ = (1/dr)·⟨x, BP y⟩ (matched transpose pair by construction;
     FP carries the geodiv factor)."""
@@ -73,6 +74,7 @@ def test_fp_bp_adjointness():
     np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_disk_sinogram_matches_chord_lengths():
     """FP of a centered disk ≈ analytic fan-beam chord length, every view."""
     R = 8.0
@@ -92,6 +94,7 @@ def test_disk_sinogram_matches_chord_lengths():
         assert err.mean() < 0.03, f"mean rel err {err.mean()} at beta={b}"
 
 
+@pytest.mark.slow
 def test_sinogram_rotation_symmetry():
     """Centered disk: every view's projection is identical."""
     x = jnp.asarray(_disk(SMALL, 6.0).reshape(-1))
@@ -102,6 +105,7 @@ def test_sinogram_rotation_symmetry():
     np.testing.assert_allclose(s0, s1, atol=0.05 * s0.max())
 
 
+@pytest.mark.slow
 def test_sart_roundtrip_recovers_phantom():
     """project → OS-SART → image close to the phantom."""
     img = shepp_logan(SMALL.nx, scale=0.3)
@@ -115,6 +119,7 @@ def test_sart_roundtrip_recovers_phantom():
     assert psnr > 19.0, f"SART roundtrip PSNR {psnr:.2f} dB"
 
 
+@pytest.mark.slow
 def test_sart_sequential_vs_os_close():
     """nsubsets=na reproduces per-angle SART; OS with fewer subsets must land
     near the same solution."""
@@ -129,6 +134,7 @@ def test_sart_sequential_vs_os_close():
     assert np.abs(rec_os - rec_seq).mean() / denom < 0.05
 
 
+@pytest.mark.slow
 def test_sart_tv_smooths():
     img = shepp_logan(SMALL.nx, scale=0.3)
     proj = P.forward_project(jnp.asarray(img), SMALL, LUT, BETAS, block=18)
@@ -148,6 +154,7 @@ FBP_SMALL = FBPGeometry(n_det=SMALL.nr, n_views=SMALL.na, grid_n=SMALL.nx,
                         view_step_deg=360.0 / SMALL.na)
 
 
+@pytest.mark.slow
 def test_fbp_roundtrip_recovers_phantom():
     """project → FBP → image close to phantom (same orientation as SART)."""
     img = shepp_logan(SMALL.nx, scale=0.3)

@@ -30,6 +30,7 @@ def _psnr(a, b):
     return 10 * np.log10(rng ** 2 / err)
 
 
+@pytest.mark.slow
 def test_fast_sart_recovers_phantom(setup):
     fan, g, ph, proj = setup
     out = np.asarray(sart_fast_convert(jnp.asarray(proj[None]), g,
@@ -41,6 +42,7 @@ def test_fast_sart_recovers_phantom(setup):
     assert p > 17.0, f"phantom PSNR {p}"
 
 
+@pytest.mark.slow
 def test_fast_sart_matches_exact(setup):
     fan, g, ph, proj = setup
     exact = np.asarray(recons(jnp.asarray(proj[None]), fan, nstart=4,
@@ -55,6 +57,7 @@ def test_fast_sart_matches_exact(setup):
     assert abs(scale - 1.0) < 0.1, f"scale {scale}"
 
 
+@pytest.mark.slow
 def test_fast_sart_tv_smooths(setup):
     fan, g, ph, proj = setup
     rng = np.random.default_rng(0)
@@ -72,6 +75,7 @@ def test_fast_sart_tv_smooths(setup):
     assert roughness(tv) < roughness(plain)
 
 
+@pytest.mark.slow
 def test_project_fast_matches_exact(setup):
     from ipdm_tpu.recon.convertor import project
     from ipdm_tpu.recon.sart_fast import project_fast
@@ -85,6 +89,7 @@ def test_project_fast_matches_exact(setup):
     assert abs(scale - 1.0) < 0.02, f"scale {scale}"
 
 
+@pytest.mark.slow
 def test_simulate_ldct_fast_path(setup):
     import jax
     from ipdm_tpu.recon.simulate import simulate_ldct_batch
@@ -102,6 +107,77 @@ def test_simulate_ldct_fast_path(setup):
     assert r > 0.75, f"corr {r}"
 
 
+def test_fp_plane_deposit_semantics():
+    """The plane-deposit FP kernel (v2) == the naive two-tap deposit loop
+    (interpret mode on CPU), including the batch dim riding inside."""
+    from ipdm_tpu.ops.pallas.shift import fp_plane_deposit
+    rng = np.random.RandomState(1)
+    n, B, W, V, L = 32, 2, 128, 16, 768
+    rows = rng.rand(n, B, W).astype(np.float32)
+    s0 = rng.randint(0, L - W - 128, (V, n)).astype(np.int32)
+    s1 = np.minimum(s0 + 1, L - W - 129).astype(np.int32)
+    w0 = rng.rand(V, n).astype(np.float32)
+    w1 = rng.rand(V, n).astype(np.float32)
+    got = np.asarray(fp_plane_deposit(jnp.asarray(rows), jnp.asarray(s0),
+                                      jnp.asarray(s1), jnp.asarray(w0),
+                                      jnp.asarray(w1), L, interpret=True))
+    want = np.zeros((V, B, L), np.float32)
+    for v in range(V):
+        for y in range(n):
+            want[v, :, s0[v, y]:s0[v, y] + W] += w0[v, y] * rows[y]
+            want[v, :, s1[v, y]:s1[v, y] + W] += w1[v, y] * rows[y]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_batched_convert_matches_single(setup):
+    """The B-batched SART scan is item-wise identical to per-item runs."""
+    fan, g, ph, proj = setup
+    pj2 = np.stack([proj, proj * 0.7 + 0.01])
+    both = np.asarray(sart_fast_convert(jnp.asarray(pj2), g,
+                                        nstart=2, nsubsets=6))
+    for b in range(2):
+        one = np.asarray(sart_fast_convert(jnp.asarray(pj2[b][None]), g,
+                                           nstart=2, nsubsets=6))[0]
+        np.testing.assert_allclose(both[b], one, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_fold_matches_unfolded(setup):
+    """Half-turn folding (φ/φ+π redundancy) reconstructs the same image."""
+    fan, g, ph, proj = setup
+    pj = jnp.asarray(proj[None])
+    folded = np.asarray(sart_fast_convert(pj, g, nstart=4, nsubsets=18,
+                                          fold=True))[0]
+    unfolded = np.asarray(sart_fast_convert(pj, g, nstart=4, nsubsets=18,
+                                            fold=False))[0]
+    c = 4
+    p = _psnr(unfolded[c:-c, c:-c], folded[c:-c, c:-c])
+    assert p > 30.0, f"fold-vs-unfold PSNR {p}"
+
+
+@pytest.mark.slow
+def test_sample_rate_sparse_views(setup):
+    """sample_rate=k keeps every k-th view (recons_torch sparse-view mode,
+    TASART2DNSL0_PyAPI.cpp:37): still reconstructs, differs from dense,
+    and agrees with the exact SART's subsampling."""
+    fan, g, ph, proj = setup
+    pj = jnp.asarray(proj[None])
+    dense = np.asarray(sart_fast_convert(pj, g, nstart=4, nsubsets=18))[0]
+    sparse = np.asarray(sart_fast_convert(pj, g, nstart=4, nsubsets=18,
+                                          sample_rate=2))[0]
+    assert np.abs(sparse - dense).max() > 1e-6  # actually subsampled
+    c = 4
+    p = _psnr(ph.T[c:-c, c:-c], sparse[c:-c, c:-c])
+    assert p > 14.0, f"sparse-view phantom PSNR {p}"
+    exact_sparse = np.asarray(recons(pj, fan, nstart=4, nsubsets=18,
+                                     sample_rate=2, permute=True))[0]
+    r = np.corrcoef(exact_sparse[c:-c, c:-c].ravel(),
+                    sparse[c:-c, c:-c].ravel())[0, 1]
+    assert r > 0.95, f"sparse fast-vs-exact corr {r}"
+
+
+@pytest.mark.slow
 def test_sart_convert_under_outer_jit(setup):
     """sart_fast_convert must be callable from inside a user jit: the norm
     cache used to capture tracers on first traced call (leak)."""

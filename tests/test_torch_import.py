@@ -129,6 +129,7 @@ PROJ_LIKE = dict(in_channels=1, model_channels=16, out_channels=1,
 
 @pytest.mark.parametrize("cfg", [IMG_LIKE, PROJ_LIKE],
                          ids=["img-like", "proj-like-fractional"])
+@pytest.mark.slow
 def test_forward_parity_with_torch_oracle(cfg):
     model = UNetModel(**cfg)
     sd, _ = _random_torch_sd(model)
@@ -198,6 +199,7 @@ def test_key_map_covers_every_flax_param():
     assert mapped == flax_paths
 
 
+@pytest.mark.slow
 def test_engine_loads_reference_torch_checkpoint(tmp_path):
     """End-to-end: a reference-layout torch file at
     load_img_model_path/img_model-{epoch} loads through the orchestrator."""
