@@ -144,6 +144,44 @@ def nearest_resize(x: jnp.ndarray, size: Tuple[int, int],
     return jnp.einsum("ew,bdwc->bdec", mw, x)
 
 
+def _up2_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+              dtype) -> jnp.ndarray:
+    """Fused nearest-2× upsample + 3×3 conv (NHWC), exact subposition
+    reparametrization: y[2i+a, 2j+b] touches only a 2×2 block of the
+    low-res image with per-(a,b) merged kernels (adjacent taps hit
+    duplicated pixels and their weights sum). 16 low-res GEMM taps replace
+    9 taps at 4× the pixels — 2.25× fewer MACs, and the GEMMs contract
+    K=4·Ci instead of three C-thin ops at high res. Valid for even output
+    sizes (= 2·src, every expensive UNet upsample; odd sizes fall back)."""
+    B, H, W, Ci = x.shape
+    Co = kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # row merges: a=0 → u rows (2i−1, 2i, 2i+1) = x[i−1], x[i], x[i] ;
+    #             a=1 → x[i], x[i], x[i+1]
+    kr = [jnp.stack([kernel[0], kernel[1] + kernel[2]]),
+          jnp.stack([kernel[0] + kernel[1], kernel[2]])]  # each [2,3,Ci,Co]
+
+    def colmerge(t, b):
+        if b == 0:
+            return jnp.stack([t[:, 0], t[:, 1] + t[:, 2]], axis=1)
+        return jnp.stack([t[:, 0] + t[:, 1], t[:, 2]], axis=1)  # [2,2,Ci,Co]
+
+    ys = [[None, None], [None, None]]
+    for a in range(2):
+        for b in range(2):
+            K = colmerge(kr[a], b)
+            taps = [xp[:, a + p:a + p + H, b + q:b + q + W, :]
+                    for p in range(2) for q in range(2)]
+            patches = jnp.concatenate(taps, axis=-1)        # [B,H,W,4Ci]
+            ys[a][b] = jnp.einsum("bhwk,kc->bhwc", patches,
+                                  K.reshape(4 * Ci, Co),
+                                  preferred_element_type=dtype)
+    z0 = jnp.stack([ys[0][0], ys[1][0]], axis=2).reshape(B, 2 * H, W, Co)
+    z1 = jnp.stack([ys[0][1], ys[1][1]], axis=2).reshape(B, 2 * H, W, Co)
+    y = jnp.stack([z0, z1], axis=3).reshape(B, 2 * H, 2 * W, Co)
+    return y + bias
+
+
 class Conv3x3(nn.Module):
     """3×3 conv with 'kernel' (HWIO) / 'bias' params, three lowerings:
 
@@ -152,6 +190,7 @@ class Conv3x3(nn.Module):
     * NHWC, small C_in: explicit im2col + einsum (measured faster than
       XLA's conv lowering at C≤32).
     * NHWC, large C_in: lax.conv (near peak for C≥128).
+    * upsample2=True: fused nearest-2× upsample + conv (see _up2_conv).
 
     Param structure matches nn.Conv, so checkpoints are interchangeable."""
     features: int
@@ -160,7 +199,7 @@ class Conv3x3(nn.Module):
     im2col_max_cin: int = 32
 
     @nn.compact
-    def __call__(self, x, planar: bool = False):
+    def __call__(self, x, planar: bool = False, upsample2: bool = False):
         cin = x.shape[1] if planar else x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, cin,
@@ -170,6 +209,9 @@ class Conv3x3(nn.Module):
                           (self.features,), jnp.float32)
         kernel = kernel.astype(self.dtype)
         bias = bias.astype(self.dtype)
+        if upsample2:
+            assert not planar
+            return _up2_conv(x, kernel, bias, self.dtype)
         s = self.strides
         if planar:
             B, _, H, W = x.shape
@@ -303,13 +345,22 @@ class Downsample(nn.Module):
 
 
 class Upsample(nn.Module):
-    """Nearest resize to explicit size + 3×3 conv (reference model.py:160-171)."""
+    """Nearest resize to explicit size + 3×3 conv (reference model.py:160-171).
+
+    NHWC even-size (dst = 2·src) upsamples run the fused subposition
+    lowering (_up2_conv, exact and ~2.25× fewer MACs); odd/planar sizes
+    fall back to resize-then-conv. Same 'conv' param scope either way."""
     channels: int
     dtype: jnp.dtype = jnp.float32
     planar: bool = False
 
     @nn.compact
     def __call__(self, x, size):
+        dh, dw = int(size[0]), int(size[1])
+        if (not self.planar and dh == 2 * x.shape[1]
+                and dw == 2 * x.shape[2]):
+            return Conv3x3(self.channels, dtype=self.dtype, name="conv")(
+                x, upsample2=True)
         x = nearest_resize(x, size, planar=self.planar)
         return Conv3x3(self.channels, dtype=self.dtype, name="conv")(
             x, planar=self.planar)

@@ -305,6 +305,81 @@ def fp_plane_deposit(rows: jnp.ndarray, s0: jnp.ndarray, s1: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# FP v3: batched roll-deposit (the v1 access pattern + in-call batch)
+# ---------------------------------------------------------------------------
+#
+# Measured on v5e, the v2 plane scratch (zero [128,B,L] + 128-roll combine
+# per view) costs far more than it saves; the v1 roll-per-deposit pattern is
+# the fastest known. v3 keeps v1's per-(row,tap) roll+RMW but:
+#   * the batch dim B rides inside the call (the roll shift is B-independent,
+#     so the [B, W+128] roll costs ~the same as v1's [1, W+128]);
+#   * rows are UNSTUFFED (width n, not n·Kf) via the (k, r)-transposed flat
+#     layout of fp_plane_deposit — half the roll/RMW bandwidth.
+
+
+def _fp3_kernel(s0_ref, s1_ref, w0_ref, w1_ref, rows_ref, out_ref):
+    n, B, W = rows_ref.shape
+    zf = w0_ref[0, 0] * 0.0    # traced zero (see _bp2_kernel)
+    out_ref[...] = jnp.broadcast_to(zf, out_ref.shape).astype(out_ref.dtype)
+
+    def deposit(v, start, vals):
+        # vals: [B, W+128] with data in [:, :W]; write at unaligned start
+        # via aligned base + right roll (tail zeros rotate into the gap)
+        a_al = (start // 128) * 128
+        rem = start - a_al
+        rolled = pltpu.roll(vals, shift=rem, axis=1)
+        cur = out_ref[pl.ds(v, 1), :, pl.ds(a_al, W + 128)]   # [1, B, W+128]
+        out_ref[pl.ds(v, 1), :, pl.ds(a_al, W + 128)] = cur + rolled[None]
+
+    def body(i, _):
+        v = i // n
+        y = i % n
+        row = rows_ref[pl.ds(y, 1)][0]                        # [B, W]
+        z = jnp.broadcast_to(zf, (B, 128)).astype(row.dtype)
+        padded = jnp.concatenate([row, z], axis=1)            # [B, W+128]
+        deposit(v, s0_ref[v, y], w0_ref[v, y] * padded)
+        deposit(v, s1_ref[v, y], w1_ref[v, y] * padded)
+        return 0
+
+    jax.lax.fori_loop(0, out_ref.shape[0] * n, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("L", "vb", "interpret"))
+def fp_shift_deposit_batched(rows: jnp.ndarray, s0: jnp.ndarray,
+                             s1: jnp.ndarray, w0: jnp.ndarray,
+                             w1: jnp.ndarray, L: int, vb: int = 8,
+                             interpret: bool = False) -> jnp.ndarray:
+    """rows: [n, B, W] (W a 128-multiple); s0, s1: [V, n] int32 flat starts
+    in [0, L−W−128]; w0, w1: [V, n] tap weights (zero on padded views).
+    Returns [V, B, L] with out[v, :, s{t}[v,y]+j] += w{t}[v,y]·rows[y,:,j].
+    Same contract as fp_plane_deposit; different (faster) inner pattern."""
+    V = s0.shape[0]
+    n, B, W = rows.shape
+    assert L % 128 == 0 and W % 128 == 0
+    rem = (-V) % vb
+    if rem:
+        s0 = jnp.pad(s0, ((0, rem), (0, 0)))
+        s1 = jnp.pad(s1, ((0, rem), (0, 0)))
+        w0 = jnp.pad(w0, ((0, rem), (0, 0)))
+        w1 = jnp.pad(w1, ((0, rem), (0, 0)))
+        V += rem
+    return pl.pallas_call(
+        _fp3_kernel,
+        grid=(V // vb,),
+        in_specs=[
+            pl.BlockSpec((vb, n), lambda v: (v, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((vb, n), lambda v: (v, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((vb, n), lambda v: (v, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((vb, n), lambda v: (v, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, B, W), lambda v: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((vb, B, L), lambda v: (v, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((V, B, L), rows.dtype),
+        interpret=interpret or not _on_tpu(),
+    )(s0, s1, w0, w1, rows)
+
+
+# ---------------------------------------------------------------------------
 # FP: deposit rows into per-view signals at per-row offsets
 # ---------------------------------------------------------------------------
 

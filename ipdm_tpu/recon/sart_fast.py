@@ -12,13 +12,22 @@ re-derives the iterative reconstruction TPU-first:
     rebinned grid is 2× redundant; averaging the two halves halves every
     FP/BP sweep's work at equal information content (the fold is exact on
     the symmetric t grid; set fold=False for the unfolded system);
+  * the iteration runs ENTIRELY on each view group's fine ray grid in
+    ratio space — no gathers inside the sweep loop. Once per convert the
+    measured parallel sinogram is converted to the ray-average ratio
+    R = m_t / n_t (n_t = FP of ones, static) and resampled onto the fine
+    grids; the per-subset SART correction is then the pure elementwise
+    corr = valid · (R_fine − T / n_fine), because a fine ray's measured
+    value in deposit units is m'_fine = n_fine · R (both sides are the
+    same ray functional applied to the image). The t grid never appears
+    inside the sweeps;
   * **FP** per view: image rows are deposited at per-row dynamic offsets
-    into a (k, r)-transposed fine grid by the Pallas `fp_plane_deposit`
-    kernel (aligned plane deposits, no per-row rolls), then anterpolated
-    onto the t-bins with small windowed gathers;
-  * **BP** per view: per-row dynamic windows of the sub-stride resampled
-    correction, accumulated by the Pallas `bp_shift_accumulate_batched`
-    kernel;
+    into a (k, r)-transposed fine layout by the Pallas `fp_plane_deposit`
+    kernel (aligned plane deposits, no per-row rolls);
+  * **BP** per view: the correction is already laid out in the SAME flat
+    fine layout the FP deposits into; the Pallas
+    `bp_shift_accumulate_batched` kernel reads it back with the exact
+    adjoint taps (same starts, same (1−frac, frac) weights);
   * the batch dim **rides inside both kernels and the sweep scan** — the
     progressive pipeline's three guided-iteration converts run as one
     B=3 reconstruction at ~the cost of one;
@@ -65,15 +74,22 @@ class _Group:
 
     `ids` are GLOBAL view indices (drive the angle tables); `local_ids` are
     the rows of the (possibly folded/decimated) parallel sinogram the group
-    reads/writes."""
+    reads/writes.
+
+    One flat fine layout serves both projectors: fine ray index
+    m ∈ [0, K·Lq) lives at flat index f = (m % K)·Lq + m // K, so a
+    zero-stuffed row deposit (stride K in m) is a contiguous width-n
+    window in f, and the BP read taps use the very same windows."""
 
     def __init__(self, p: _FastPlan, ids: np.ndarray, local_ids: np.ndarray,
                  xdrive: bool, Kf: int):
+        self.p = p
         self.ids = ids
         self.local_ids = local_ids
         self.xdrive = xdrive
         self.V = len(ids)
         self.Vpad = _round_up(max(self.V, 1), VB)
+        self.K = Kf
         n = p.n
         dt = p.dt
         if xdrive:
@@ -97,27 +113,46 @@ class _Group:
         self.sgn = sgn.astype(np.float32)
         self.step = step.astype(np.float32)
         self.beta0 = beta0.astype(np.float32)
-        # BP fine-grid capacity (stuffed width n·Kf + max offset + margin)
-        self.W = n * Kf
-        Lf_needed = int(self.o_int.max() if self.V else 0) + self.W + 2
-        self.Lf = _round_up(Lf_needed + 256, 128)
-        # FP v2 flat (k, r) deposit layout: T[k·Lq_fp + r] = fine[r·Kf + k].
-        # A stuffed-row deposit at fine offset o becomes a contiguous
-        # width-n deposit at flat start (o%Kf)·Lq_fp + o//Kf.
+        # unified flat layout: Lq sized so every deposit/read window stays
+        # inside one k-plane (r_max + Wn + roll margin ≤ Lq)
         self.Wn = _round_up(n, 128)
         o_hi = int(self.o_int.max() + 1 if self.V else 0)
-        self.Lq_fp = o_hi // Kf + n + 2
-        self.Lfp = _round_up(Kf * self.Lq_fp + 384, 128)
+        self.Lq = o_hi // Kf + self.Wn + 132
+        self.L = _round_up(Kf * self.Lq + 128, 128)
         o64 = self.o_int.astype(np.int64)
-        self.s0_fp = ((o64 % Kf) * self.Lq_fp + o64 // Kf).astype(np.int32)
+        self.s0_fl = ((o64 % Kf) * self.Lq + o64 // Kf).astype(np.int32)
         o64 += 1
-        self.s1_fp = ((o64 % Kf) * self.Lq_fp + o64 // Kf).astype(np.int32)
+        self.s1_fl = ((o64 % Kf) * self.Lq + o64 // Kf).astype(np.int32)
+        self._fine_tables = None
 
     def pad_v(self, arr: np.ndarray, fill=0) -> np.ndarray:
         if self.V == self.Vpad:
             return arr
         pads = [(0, self.Vpad - self.V)] + [(0, 0)] * (arr.ndim - 1)
         return np.pad(arr, pads, constant_values=fill)
+
+    def fine_tables(self):
+        """Static t→fine resample tables over the flat layout, padded to
+        Vpad: (qi0, qi1 int32 [Vpad, L], qf f32, qvalid f32). Fine ray
+        m(f) = (f % Lq)·K + f // Lq sits at t position sgn·(step·m + β0)."""
+        if self._fine_tables is not None:
+            return self._fine_tables
+        Nt = self.p.Nt
+        f = np.arange(self.L)
+        m = (f % self.Lq) * self.K + f // self.Lq              # [L]
+        live = (f // self.Lq) < self.K
+        qpos = (self.sgn[:, None]
+                * (self.step[:, None] * m[None, :].astype(np.float32)
+                   + self.beta0[:, None]))                     # [V, L]
+        qi = np.floor(qpos)
+        qf = (qpos - qi).astype(np.float32)
+        qi0 = np.clip(qi, 0, Nt - 1).astype(np.int32)
+        qi1 = np.clip(qi + 1, 0, Nt - 1).astype(np.int32)
+        qvalid = ((qpos >= 0.0) & (qpos <= Nt - 1)
+                  & live[None, :]).astype(np.float32)
+        self._fine_tables = (self.pad_v(qi0), self.pad_v(qi1),
+                             self.pad_v(qf), self.pad_v(qvalid))
+        return self._fine_tables
 
 
 class _SartFastPlan:
@@ -159,27 +194,37 @@ class _SartFastPlan:
 
     # -- FP ------------------------------------------------------------
 
-    def _fp_group(self, img: jnp.ndarray, grp: _Group) -> jnp.ndarray:
-        """FP of one branch group. img [B, n, n] (fbp frame).
-        Returns [B, V, Nt] ray sums (views in grp order)."""
+    def _fp_group_fine(self, img: jnp.ndarray, grp: _Group) -> jnp.ndarray:
+        """FP of one branch group onto its flat fine grid. img [B, n, n]
+        (fbp frame). Returns [Vpad, B, L] deposit-unit ray sums."""
         p = self.p
         n = p.n
-        Kf = self.Kf
         B = img.shape[0]
         if grp.V == 0:
-            return jnp.zeros((B, 0, p.Nt), img.dtype)
+            return jnp.zeros((grp.Vpad, B, grp.L), img.dtype)
         src = img if grp.xdrive else jnp.swapaxes(img, 1, 2)
         rows = jnp.swapaxes(src, 0, 1)                         # [n, B, n]
         if grp.Wn > n:
             rows = jnp.pad(rows, ((0, 0), (0, 0), (0, grp.Wn - n)))
         scale = np.float32(p.dp_pix * p.dp_pix / p.dt)
-        s0 = jnp.asarray(grp.pad_v(grp.s0_fp))
-        s1 = jnp.asarray(grp.pad_v(grp.s1_fp))
+        s0 = jnp.asarray(grp.pad_v(grp.s0_fl))
+        s1 = jnp.asarray(grp.pad_v(grp.s1_fl))
         w0 = jnp.asarray(grp.pad_v((1.0 - grp.o_frac) * scale))
         w1 = jnp.asarray(grp.pad_v(grp.o_frac * scale))
-        T = fp_plane_deposit(rows, s0, s1, w0, w1, grp.Lfp)[:grp.V]
+        return fp_plane_deposit(rows, s0, s1, w0, w1, grp.L)
+
+    def _fp_group(self, img: jnp.ndarray, grp: _Group) -> jnp.ndarray:
+        """FP of one branch group anterpolated onto the t bins (used by
+        project_fast and the static n_t norms — NOT in the SART loop).
+        img [B, n, n] (fbp frame). Returns [B, V, Nt] ray sums."""
+        p = self.p
+        Kf = self.Kf
+        B = img.shape[0]
+        if grp.V == 0:
+            return jnp.zeros((B, 0, p.Nt), img.dtype)
+        T = self._fp_group_fine(img, grp)[:grp.V]              # [V, B, L]
         # anterpolate fine → t bins (small per-view windowed gathers);
-        # fine index m lives at flat (m%Kf)·Lq_fp + m//Kf
+        # fine index m lives at flat (m%Kf)·Lq + m//Kf
         d = jnp.arange(p.Nt, dtype=jnp.float32)[None, :]       # [1, Nt]
         sgn = jnp.asarray(grp.sgn)[:, None]
         step = jnp.asarray(grp.step)[:, None]
@@ -187,73 +232,58 @@ class _SartFastPlan:
         d_adj = jnp.where(sgn > 0, d, -d)
         m_lo = (d_adj - 1.0 - beta0) / step
         m0 = jnp.floor(m_lo).astype(jnp.int32)
-        Mfine = Kf * grp.Lq_fp
-        out = jnp.zeros((grp.V, B, p.Nt), img.dtype)
+        Mfine = Kf * grp.Lq
+        out = jnp.zeros((B, grp.V, p.Nt), img.dtype)
         Wt = 2 * Kf + 2
         for k in range(Wt):
             m = m0 + k
             qpos = sgn * (step * m.astype(jnp.float32) + beta0)
             w = jnp.maximum(0.0, 1.0 - jnp.abs(qpos - d))
             mc = jnp.clip(m, 0, Mfine - 1)
-            fi = (mc % Kf) * grp.Lq_fp + mc // Kf              # [V, Nt]
+            fi = (mc % Kf) * grp.Lq + mc // Kf                 # [V, Nt]
             valid = ((m >= 0) & (m < Mfine)).astype(img.dtype)
-            idx = jnp.broadcast_to(fi[:, None, :], (grp.V, B, p.Nt))
-            out = out + (jnp.take_along_axis(T, idx, axis=2)
-                         * (w * valid)[:, None, :])
-        return jnp.swapaxes(out, 0, 1)                         # [B, V, Nt]
+            # 2-D gathers per (static, small) batch item: the 3-D
+            # take_along_axis form lowers to a ~4× slower gather on TPU
+            for b in range(B):
+                out = out.at[b].add(
+                    jnp.take_along_axis(T[:, b], fi, axis=1)
+                    * (w * valid))
+        return out                                             # [B, V, Nt]
 
     # -- BP ------------------------------------------------------------
 
-    def _bp_group(self, rays: jnp.ndarray, grp: _Group) -> jnp.ndarray:
-        """BP of one branch group's rays [B, V, Nt] → [B, n, n] (fbp frame).
-
-        Taps at fine index m = Kq·d + o_int[v, o] read through the
-        transposed flat layout T2[k·Lq + r] = Q'[r·Kq + k] so each tap is a
-        contiguous window (the Pallas kernel's access pattern)."""
+    def _bp_group_fine(self, corr: jnp.ndarray, grp: _Group) -> jnp.ndarray:
+        """Adjoint of _fp_group_fine (without the area scale): corr
+        [Vpad, B, L] in the flat fine layout → [B, n, n] (fbp frame)."""
         p = self.p
         n = p.n
-        Kq = self.Kq
-        B = rays.shape[0]
+        B = corr.shape[1]
         if grp.V == 0:
-            return jnp.zeros((B, n, n), rays.dtype)
-        Lq = grp.Lf // Kq          # r rows in the fine grid (Lf = Lq·Kq)
-        LqK = grp.Lf
-        # resample rays onto the group's fine grid (same anchoring as FP:
-        # t-index of fine m is sgn·(step·m + β0))
-        sgn = jnp.asarray(grp.sgn)[:, None]
-        step = jnp.asarray(grp.step)[:, None]
-        beta0 = jnp.asarray(grp.beta0)[:, None]
-        mq = jnp.arange(LqK, dtype=jnp.float32)[None, :]
-        qpos = sgn * (step * mq + beta0)
-        qi = jnp.floor(qpos)
-        qf = (qpos - qi).astype(rays.dtype)[:, None, :]
-        qi0 = jnp.clip(qi.astype(jnp.int32), 0, p.Nt - 1)
-        qi1 = jnp.clip(qi.astype(jnp.int32) + 1, 0, p.Nt - 1)
-        qvalid = ((qpos >= 0.0)
-                  & (qpos <= p.Nt - 1)).astype(rays.dtype)[:, None, :]
-        rv = jnp.swapaxes(rays, 0, 1)                          # [V, B, Nt]
-        i0 = jnp.broadcast_to(qi0[:, None, :], (grp.V, B, LqK))
-        i1 = jnp.broadcast_to(qi1[:, None, :], (grp.V, B, LqK))
-        Qp = ((1 - qf) * jnp.take_along_axis(rv, i0, axis=2)
-              + qf * jnp.take_along_axis(rv, i1, axis=2)) * qvalid
-        # transposed flat layout: T2[k·Lq + r] = Q'[r·Kq + k]
-        T2 = jnp.swapaxes(Qp.reshape(grp.V, B, Lq, Kq), 2, 3).reshape(
-            grp.V, B, LqK)
-        Lpad = _round_up(LqK + 256, 128)
-        T2 = jnp.pad(T2, ((0, 0), (0, 0), (0, Lpad - LqK)))
-        # tap decomposition (clip r so windows stay inside a k-row)
-        o_int = np.minimum(grp.o_int, (Lq - n - 1) * Kq - 1)
-        k0 = o_int % Kq
-        r0 = o_int // Kq
-        o1 = o_int + 1
-        start0 = k0 * Lq + r0
-        start1 = (o1 % Kq) * Lq + o1 // Kq
-        s0 = jnp.asarray(grp.pad_v(start0.astype(np.int32)))
-        s1 = jnp.asarray(grp.pad_v(start1.astype(np.int32)))
+            return jnp.zeros((B, n, n), corr.dtype)
+        s0 = jnp.asarray(grp.pad_v(grp.s0_fl))
+        s1 = jnp.asarray(grp.pad_v(grp.s1_fl))
         frac = jnp.asarray(grp.pad_v(grp.o_frac))
-        T2 = jnp.pad(T2, ((0, s0.shape[0] - T2.shape[0]), (0, 0), (0, 0)))
-        out = bp_shift_accumulate_batched(T2, s0, s1, frac, n)  # [B, n, n]
+        out = bp_shift_accumulate_batched(corr, s0, s1, frac, n)
         return out if grp.xdrive else jnp.swapaxes(out, 1, 2)
+
+    def _resample_to_fine(self, R: jnp.ndarray, grp: _Group) -> jnp.ndarray:
+        """Resample per-view t-grid signals R [B, nv, Nt] onto the group's
+        flat fine grid (two static taps): [Vpad, B, L]. Once per convert."""
+        B = R.shape[0]
+        if grp.V == 0:
+            return jnp.zeros((grp.Vpad, B, grp.L), R.dtype)
+        qi0, qi1, qf, qvalid = grp.fine_tables()
+        rv = jnp.swapaxes(R[:, jnp.asarray(grp.local_ids)], 0, 1)
+        if grp.Vpad > grp.V:
+            rv = jnp.pad(rv, ((0, grp.Vpad - grp.V), (0, 0), (0, 0)))
+        i0 = jnp.asarray(qi0)
+        i1 = jnp.asarray(qi1)
+        f = jnp.asarray(qf)
+        # 2-D gathers per (static, small) batch item — see _fp_group
+        outs = [(1 - f) * jnp.take_along_axis(rv[:, b], i0, axis=1)
+                + f * jnp.take_along_axis(rv[:, b], i1, axis=1)
+                for b in range(B)]
+        return jnp.stack(outs, axis=1)                         # [Vpad, B, L]
 
 
 _SPLANS = {}
@@ -279,7 +309,7 @@ def _trace_clean() -> bool:
 
 
 def _norms_for(sp: _SartFastPlan):
-    """Precompute FP(1) per (subset, branch) and BP(1) per subset.
+    """Precompute the static normalization tables (see _compute_norms).
 
     The cache must only ever hold CONCRETE arrays: when first called from
     inside an outer jit trace, caching would store tracers and leak them
@@ -294,34 +324,58 @@ def _norms_for(sp: _SartFastPlan):
 
 
 def _compute_norms(sp: _SartFastPlan):
+    """Static tables driving the in-loop elementwise correction:
+
+      nt_full  [nv, Nt]  — t-grid FP of ones per global view (R denominator)
+      fine[s][br] = (inv_nf, valid) [Vpad, L] — fine-ray norm reciprocal
+                    and live-bin mask per subset branch
+      bp_norms [nsubsets, n, n] — BP of the live masks (update denominator)
+    """
     p = sp.p
+    eps = 1e-8
+    nv = len(sp.view_ids)
     ones_img = jnp.ones((1, p.n, p.n), jnp.float32)
-    fp_n = []
+    nt_full = jnp.zeros((nv, p.Nt), jnp.float32)
+    for grp in (sp.gx_all, sp.gy_all):
+        if grp.V:
+            nt = sp._fp_group(ones_img, grp)[0]                # [V, Nt]
+            nt_full = nt_full.at[jnp.asarray(grp.local_ids)].set(nt)
+    fine = []
     bp_n = []
     for s in range(sp.nsubsets):
-        gx, gy = sp.groups[s]
-        fx = sp._fp_group(ones_img, gx)[0]                     # [V, Nt]
-        fy = sp._fp_group(ones_img, gy)[0]
-        bx = sp._bp_group(jnp.ones((1, gx.V, p.Nt), jnp.float32), gx)[0]
-        by = sp._bp_group(jnp.ones((1, gy.V, p.Nt), jnp.float32), gy)[0]
-        fp_n.append((fx, fy))
-        bp_n.append(bx + by)
-    return (fp_n, jnp.stack(bp_n))
+        per_branch = []
+        bp = jnp.zeros((1, p.n, p.n), jnp.float32)
+        for grp in sp.groups[s]:
+            nf = sp._fp_group_fine(ones_img, grp)[:, 0, :]     # [Vpad, L]
+            qvalid = jnp.asarray(grp.fine_tables()[3]) if grp.V else None
+            valid = ((nf > eps).astype(jnp.float32) * qvalid
+                     if grp.V else jnp.zeros_like(nf))
+            inv_nf = jnp.where(valid > 0, 1.0 / jnp.maximum(nf, eps), 0.0)
+            per_branch.append((inv_nf, valid))
+            bp = bp + sp._bp_group_fine(valid[:, None, :], grp)
+        fine.append(per_branch)
+        bp_n.append(bp[0])
+    return (nt_full, fine, jnp.stack(bp_n))
 
 
 @partial(jax.jit, static_argnames=("sp", "nstart", "ntv"))
-def _sart_iterate(sp: _SartFastPlan, par: jnp.ndarray, fp_norms,
-                  bp_norms, nstart: int, ntv: int) -> jnp.ndarray:
+def _sart_iterate(sp: _SartFastPlan, par: jnp.ndarray, norms,
+                  nstart: int, ntv: int) -> jnp.ndarray:
     """OS-SART for a BATCH of sinograms par [B, V', Nt] → [B, n, n]
-    (fbp frame). All batch items ride inside the Pallas kernels."""
+    (fbp frame). The sweep loop is gather-free: per subset branch it is
+    FP kernel → elementwise ratio correction → BP kernel (all batch items
+    ride inside the Pallas kernels)."""
     p = sp.p
     n = p.n
     eps = 1e-8
     B = par.shape[0]
-    # static per-group measured rows
-    m_rows = [(par[:, jnp.asarray(gx.local_ids)],
-               par[:, jnp.asarray(gy.local_ids)])
-              for gx, gy in sp.groups]
+    nt_full, fine, bp_norms = norms
+    # measured ray-average ratio R = m_t / n_t, resampled to the fine grids
+    # ONCE per convert (the only gathers in the whole reconstruction)
+    R = jnp.where(nt_full[None] > eps, par / jnp.maximum(nt_full[None], eps),
+                  0.0)
+    Rf = [[sp._resample_to_fine(R, grp) for grp in sp.groups[s]]
+          for s in range(sp.nsubsets)]
     lam0, alpha0, sigma0 = 0.24, 0.1, 0.8
     x0 = jnp.zeros((B, n, n), jnp.float32)
     tv_grad_b = jax.vmap(nsl0_tv_grad, in_axes=(0, None))
@@ -330,16 +384,15 @@ def _sart_iterate(sp: _SartFastPlan, par: jnp.ndarray, fp_norms,
         x, lam, alpha, sigma = carry           # x [B,n,n], alpha [B]
         x_back = x
         for s in range(sp.nsubsets):
-            gx, gy = sp.groups[s]
             bp = jnp.zeros((B, n, n), jnp.float32)
-            for grp, m_g, nfp in ((gx, m_rows[s][0], fp_norms[s][0]),
-                                  (gy, m_rows[s][1], fp_norms[s][1])):
+            for br, grp in enumerate(sp.groups[s]):
                 if grp.V == 0:
                     continue
-                pfp = sp._fp_group(x, grp)                    # [B, V, Nt]
-                corr = jnp.where(nfp[None] > eps, (m_g - pfp)
-                                 / jnp.maximum(nfp[None], eps), 0.0)
-                bp = bp + sp._bp_group(corr, grp)
+                inv_nf, valid = fine[s][br]
+                T = sp._fp_group_fine(x, grp)                 # [Vp, B, L]
+                corr = ((Rf[s][br] - T * inv_nf[:, None, :])
+                        * valid[:, None, :])
+                bp = bp + sp._bp_group_fine(corr, grp)
             nbp = bp_norms[s][None]
             upd = jnp.where(nbp > eps, lam * bp / jnp.maximum(nbp, eps),
                             0.0)
@@ -385,7 +438,7 @@ def sart_fast_convert(pj: jnp.ndarray, g: FBPGeometry, nstart: int = 10,
     sample_rate = int(sample_rate)
     fold = bool(fold) and g.M % 2 == 0
     sp = _splan_for(g, nsubsets, fold=fold, sample_rate=sample_rate)
-    fp_norms, bp_norms = _norms_for(sp)
+    norms = _norms_for(sp)
     pj = pj[:, :, ::-1]                      # detector flip (fbp convention)
     par = _rebin(pj, sp.p)                   # [B, M, Nt]
     if fold:
@@ -393,7 +446,7 @@ def sart_fast_convert(pj: jnp.ndarray, g: FBPGeometry, nstart: int = 10,
         par = 0.5 * (par[:, :M // 2, :] + par[:, M // 2:, ::-1])
     if sample_rate > 1:
         par = par[:, ::sample_rate]
-    img = _sart_iterate(sp, par, fp_norms, bp_norms, int(nstart), int(ntv))
+    img = _sart_iterate(sp, par, norms, int(nstart), int(ntv))
     return img[:, :, ::-1]                   # x flip (fbp convention)
 
 

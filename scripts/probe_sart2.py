@@ -49,6 +49,8 @@ pj3 = jnp.asarray(host.random((3, 2000, 912), np.float32) * 4.0)
 pj1 = pj3[:1]
 img1 = jnp.asarray(host.random((1, 512, 512), np.float32) * 0.03)
 
+# first measurement of a process is warm-up-inflated (relay quirk): burn it
+timed("warmup (discard)", lambda i: fbp_convert_fast(pj1 + i * 1e-6, g))
 timed("fbp_fast B=3 folded", lambda i: fbp_convert_fast(pj3 + i * 1e-6, g))
 timed("sart_fast B=1 folded", lambda i: sart_fast_convert(
     pj1 + i * 1e-6, g, nstart=10, nsubsets=40), reps=2)

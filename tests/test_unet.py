@@ -202,6 +202,22 @@ def test_bf16_guided_sampling_close_to_f32():
     assert np.mean(np.abs(a - b)) < 0.05
 
 
+def test_up2_conv_matches_resize_then_conv():
+    """The fused subposition upsample+conv (_up2_conv) is an exact
+    reparametrization of nearest-2× resize followed by the 3×3 conv."""
+    import jax
+    from ipdm_tpu.models.unet import Conv3x3, nearest_resize
+    rng = np.random.RandomState(0)
+    for Ci, Co, H, W in ((8, 16, 7, 9), (16, 16, 12, 10), (3, 5, 5, 5)):
+        x = jnp.asarray(rng.rand(2, H, W, Ci).astype(np.float32))
+        conv = Conv3x3(Co)
+        params = conv.init(jax.random.PRNGKey(0), x)
+        ref = conv.apply(params, nearest_resize(x, (2 * H, 2 * W)))
+        fused = conv.apply(params, x, upsample2=True)
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_planar_mode_matches_nhwc():
     """Planar shallow execution (W-minor layout + shift-einsum convs) is a
     pure layout/lowering change: outputs must match NHWC execution."""
