@@ -242,12 +242,11 @@ class _SartFastPlan:
             mc = jnp.clip(m, 0, Mfine - 1)
             fi = (mc % Kf) * grp.Lq + mc // Kf                 # [V, Nt]
             valid = ((m >= 0) & (m < Mfine)).astype(img.dtype)
-            # 2-D gathers per (static, small) batch item: the 3-D
-            # take_along_axis form lowers to a ~4× slower gather on TPU
-            for b in range(B):
-                out = out.at[b].add(
-                    jnp.take_along_axis(T[:, b], fi, axis=1)
-                    * (w * valid))
+            # measured on v5e: the single 3-D take_along_axis beats B
+            # unrolled 2-D gathers (1198 vs 1616 ms project_fast)
+            idx = jnp.broadcast_to(fi[:, None, :], (grp.V, B, p.Nt))
+            out = out + jnp.swapaxes(
+                jnp.take_along_axis(T, idx, axis=2), 0, 1) * (w * valid)[None]
         return out                                             # [B, V, Nt]
 
     # -- BP ------------------------------------------------------------
@@ -276,14 +275,15 @@ class _SartFastPlan:
         rv = jnp.swapaxes(R[:, jnp.asarray(grp.local_ids)], 0, 1)
         if grp.Vpad > grp.V:
             rv = jnp.pad(rv, ((0, grp.Vpad - grp.V), (0, 0), (0, 0)))
-        i0 = jnp.asarray(qi0)
-        i1 = jnp.asarray(qi1)
-        f = jnp.asarray(qf)
-        # 2-D gathers per (static, small) batch item — see _fp_group
-        outs = [(1 - f) * jnp.take_along_axis(rv[:, b], i0, axis=1)
-                + f * jnp.take_along_axis(rv[:, b], i1, axis=1)
-                for b in range(B)]
-        return jnp.stack(outs, axis=1)                         # [Vpad, B, L]
+        # 3-D gathers measured faster than B-unrolled 2-D on v5e (SART
+        # B=3: 3.18 s with this form vs 5.38 s unrolled)
+        i0 = jnp.broadcast_to(jnp.asarray(qi0)[:, None, :],
+                              (grp.Vpad, B, grp.L))
+        i1 = jnp.broadcast_to(jnp.asarray(qi1)[:, None, :],
+                              (grp.Vpad, B, grp.L))
+        f = jnp.asarray(qf)[:, None, :]
+        return ((1 - f) * jnp.take_along_axis(rv, i0, axis=2)
+                + f * jnp.take_along_axis(rv, i1, axis=2))     # [Vpad, B, L]
 
 
 _SPLANS = {}

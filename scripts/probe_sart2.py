@@ -52,9 +52,12 @@ img1 = jnp.asarray(host.random((1, 512, 512), np.float32) * 0.03)
 # first measurement of a process is warm-up-inflated (relay quirk): burn it
 timed("warmup (discard)", lambda i: fbp_convert_fast(pj1 + i * 1e-6, g))
 timed("fbp_fast B=3 folded", lambda i: fbp_convert_fast(pj3 + i * 1e-6, g))
-timed("sart_fast B=1 folded", lambda i: sart_fast_convert(
-    pj1 + i * 1e-6, g, nstart=10, nsubsets=40), reps=2)
-timed("sart_fast B=3 folded", lambda i: sart_fast_convert(
-    pj3 + i * 1e-6, g, nstart=10, nsubsets=40), reps=2)
+# SART timings drift between runs (relay/tenancy noise) — interleave two
+# measurement sets per config so within-process drift is visible
+for rep in (1, 2):
+    timed(f"sart_fast B=1 folded #{rep}", lambda i: sart_fast_convert(
+        pj1 + i * 1e-6, g, nstart=10, nsubsets=40), reps=3)
+    timed(f"sart_fast B=3 folded #{rep}", lambda i: sart_fast_convert(
+        pj3 + i * 1e-6, g, nstart=10, nsubsets=40), reps=3)
 timed("project_fast B=1", lambda i: project_fast(
     img1 + i * 1e-6, g, 912, float(g.nda[0]), float(g.da)), reps=3)
