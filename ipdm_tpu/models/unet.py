@@ -357,13 +357,18 @@ class Upsample(nn.Module):
     @nn.compact
     def __call__(self, x, size):
         dh, dw = int(size[0]), int(size[1])
-        if (not self.planar and dh == 2 * x.shape[1]
+        if (UP2_FUSED and not self.planar and dh == 2 * x.shape[1]
                 and dw == 2 * x.shape[2]):
             return Conv3x3(self.channels, dtype=self.dtype, name="conv")(
                 x, upsample2=True)
         x = nearest_resize(x, size, planar=self.planar)
         return Conv3x3(self.channels, dtype=self.dtype, name="conv")(
             x, planar=self.planar)
+
+
+# perf A/B switches (module-level, read at trace time; probes flip them)
+UP2_FUSED = True        # fused subposition upsample+conv on even sizes
+UP_GATE_IN_LIMIT = True  # up-path planar gate also bounds concat in_ch
 
 
 class UNetModel(nn.Module):
@@ -517,7 +522,8 @@ class UNetModel(nn.Module):
             # deep-skip level transitions (in ≫ planar_max_c) in NHWC,
             # where GN/conv1/shortcut at large C are faster.
             want = (self._planar(out_ch, attn)
-                    and in_ch <= 2 * self.planar_max_c)
+                    and (not UP_GATE_IN_LIMIT
+                         or in_ch <= 2 * self.planar_max_c))
             h = fit(h, hp, want)
             skip = fit(h_, h_p, want)
             hp = want

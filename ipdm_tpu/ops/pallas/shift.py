@@ -380,6 +380,161 @@ def fp_shift_deposit_batched(rows: jnp.ndarray, s0: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Fused OS-SART sweep: one kernel per (sweep, drive axis)
+# ---------------------------------------------------------------------------
+#
+# The per-subset FP → correction → BP → update chain, fused into a single
+# pallas_call with grid over the drive's subsets and the image persisting in
+# the revisited output block. Motivation: the unfused loop issues ~4 device
+# thunks per (subset, branch) — ~3200 per 10-sweep convert — and at the
+# ~0.5 ms/thunk sequencing floor measured on this chip that overhead alone
+# (~1.6 s) exceeds the kernels' combined compute time (~0.9 s). Fused: ~2
+# launches per sweep.
+#
+# Requires drive-pure subsets (every view in a grid step drives the same
+# image axis); the caller runs all x-drive subsets, transposes, runs the
+# y-drive subsets on the transposed image, and transposes back (OS update
+# order is a free choice — the reference's is 2000 single-view subsets).
+#
+# Per grid step (one subset, Vp padded views):
+#   FP   : plane-deposit of image rows into T[Vp, B, L] (the _fp2 pattern;
+#          tap weights (1−frac, frac) — the area scale is folded into inv2)
+#   corr : T ← rf − T·inv2   (rf, inv2 pre-masked by the live-ray mask)
+#   BP   : per view, 128-rotation roll table of corr, then per-row window
+#          reads (the _bp2 pattern) accumulated DIRECTLY into the image as
+#          x[:, y, :] += lam · nrmi[y, :] · Σ_v taps  (nrmi = 1/bp_norm is
+#          per-subset, so the scaling distributes over views)
+#   clamp: x ← max(x, 0) (reference update_kernel nonnegativity)
+
+
+def _oss_kernel(s0_ref, s1_ref, frac_ref, lam_ref, rf_ref, inv2_ref,
+                nrmi_ref, x0_ref, x_ref, T, planes):
+    Vp, B, L = T.shape
+    n = x_ref.shape[-1]
+    W = -(-n // 128) * 128  # deposit width (row zero-padded to 128-mult)
+    lam = lam_ref[0, 0]
+    zf = lam * 0.0  # traced zero (see _bp2_kernel)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        x_ref[...] = x0_ref[...]
+
+    # ---- FP: plane-deposit all rows of all views into T ----------------
+    def fp_view(vi, _):
+        planes[...] = jnp.broadcast_to(zf, planes.shape).astype(planes.dtype)
+
+        def row_body(y, _):
+            row = x_ref[:, pl.ds(y, 1), :][:, 0, :]            # [B, n]
+            if W > n:
+                pad = jnp.broadcast_to(zf, (B, W - n)).astype(row.dtype)
+                row = jnp.concatenate([row, pad], axis=1)      # [B, W]
+
+            def tap(s_ref_, w):
+                start = s_ref_[0, vi, y]
+                base = pl.multiple_of((start // 128) * 128, 128)
+                rem = start - base
+                cur = planes[pl.ds(rem, 1), :, pl.ds(base, W)]
+                planes[pl.ds(rem, 1), :, pl.ds(base, W)] = (
+                    cur + w * row[None])
+
+            f = frac_ref[0, vi, y]
+            tap(s0_ref, 1.0 - f)
+            tap(s1_ref, f)
+            return 0
+
+        jax.lax.fori_loop(0, n, row_body, 0)
+
+        def comb_body(k, acc):
+            pk = planes[pl.ds(k, 1)][0]                        # [B, L]
+            return acc + pltpu.roll(pk, shift=k, axis=1)
+
+        z0 = jnp.broadcast_to(zf, (B, L)).astype(T.dtype)
+        T[pl.ds(vi, 1)] = jax.lax.fori_loop(0, 128, comb_body, z0)[None]
+        return 0
+
+    jax.lax.fori_loop(0, Vp, fp_view, 0)
+
+    # ---- correction (elementwise, pre-masked tables) -------------------
+    T[...] = rf_ref[0] - T[...] * inv2_ref[0][:, None, :]
+
+    # ---- BP: roll-table per view, accumulate λ·nrmi·taps into x --------
+    def bp_view(vi, _):
+        sig = T[pl.ds(vi, 1)][0]                               # [B, L]
+
+        def roll_body(k, _):
+            planes[pl.ds(k, 1)] = pltpu.roll(
+                sig, shift=L - k, axis=1)[None]
+            return 0
+
+        jax.lax.fori_loop(0, 128, roll_body, 0)
+
+        def row_body(y, _):
+            s0 = s0_ref[0, vi, y]
+            s1 = s1_ref[0, vi, y]
+            f = frac_ref[0, vi, y]
+            a0 = pl.multiple_of((s0 // 128) * 128, 128)
+            a1 = pl.multiple_of((s1 // 128) * 128, 128)
+            w0 = planes[pl.ds(s0 - a0, 1), :, pl.ds(a0, n)]    # [1, B, n]
+            w1 = planes[pl.ds(s1 - a1, 1), :, pl.ds(a1, n)]
+            acc = (1.0 - f) * w0[0] + f * w1[0]                # [B, n]
+            g = lam * nrmi_ref[0, pl.ds(y, 1), :]              # [1, n]
+            cur = x_ref[:, pl.ds(y, 1), :]                     # [B, 1, n]
+            x_ref[:, pl.ds(y, 1), :] = cur + (g * acc)[:, None, :]
+            return 0
+
+        jax.lax.fori_loop(0, n, row_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, Vp, bp_view, 0)
+
+    # ---- nonnegativity clamp (per subset, reference update_kernel) -----
+    x_ref[...] = jnp.maximum(x_ref[...], zf)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def os_sart_sweep(x: jnp.ndarray, rf: jnp.ndarray, inv2: jnp.ndarray,
+                  frac: jnp.ndarray, s0: jnp.ndarray, s1: jnp.ndarray,
+                  nrmi: jnp.ndarray, lam: jnp.ndarray,
+                  interpret: bool = False) -> jnp.ndarray:
+    """One OS-SART sweep over a drive's subsets, fused in one kernel.
+
+    x: [B, n, n] drive-frame image (rows are deposit rows). rf: [S, Vp, B, L]
+    pre-masked measured ratios on the flat fine grid; inv2: [S, Vp, L]
+    pre-masked scale·(1/n_fine); frac: [S, Vp, n] tap fractions; s0, s1:
+    [S, Vp, n] int32 flat window starts in [0, L−Wn−128]; nrmi: [S, n, n]
+    per-subset 1/bp_norm (0 where dead); lam: scalar relaxation for this
+    sweep. Returns the updated [B, n, n] image.
+    """
+    S, Vp, B, L = rf.shape
+    n = x.shape[-1]
+    assert L % 128 == 0
+    lam2 = jnp.reshape(jnp.asarray(lam, x.dtype), (1, 1))
+    return pl.pallas_call(
+        _oss_kernel,
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, Vp, n), lambda s: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Vp, n), lambda s: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Vp, n), lambda s: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda s: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Vp, B, L), lambda s: (s, 0, 0, 0)),
+            pl.BlockSpec((1, Vp, L), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, n, n), lambda s: (s, 0, 0)),
+            pl.BlockSpec((B, n, n), lambda s: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, n, n), lambda s: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, n, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((Vp, B, L), x.dtype),
+                        pltpu.VMEM((128, B, L), x.dtype)],
+        interpret=interpret or not _on_tpu(),
+    )(s0, s1, frac, lam2, rf, inv2, nrmi, x)
+
+
+# ---------------------------------------------------------------------------
 # FP: deposit rows into per-view signals at per-row offsets
 # ---------------------------------------------------------------------------
 

@@ -59,7 +59,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ipdm_tpu.ops.pallas.shift import (VB, bp_shift_accumulate_batched,
-                                       fp_plane_deposit)
+                                       fp_plane_deposit, os_sart_sweep)
 from ipdm_tpu.recon.fbp import FBPGeometry
 from ipdm_tpu.recon.fbp_fast import _FastPlan, _plan_for, _rebin
 from ipdm_tpu.recon.sart import nsl0_tv_grad
@@ -190,7 +190,39 @@ class _SartFastPlan:
         self.gx_all = _Group(p, self.view_ids[m], loc_all[m], True, self.Kf)
         self.gy_all = _Group(p, self.view_ids[~m], loc_all[~m], False,
                              self.Kf)
-        self._norms = None
+        # fused-sweep drive partitions: each drive's views split into
+        # angle-interleaved subsets of ≤ Vp views (one grid step each in
+        # os_sart_sweep); subset row r of drive table = drive view r
+        self.dsub = {}          # drive -> (S, Vp, idx [S, Vp] into drive
+        #                         rows, pad marked with -1)
+        vp_target = max(1, -(-nv // max(1, self.nsubsets)))
+        for key, grp in (("x", self.gx_all), ("y", self.gy_all)):
+            Vd = grp.V
+            if Vd == 0:
+                self.dsub[key] = (0, 0, np.zeros((0, 0), np.int64))
+                continue
+            S = max(1, -(-Vd // vp_target))
+            while -(-Vd // S) > 16:   # cap Vp at 16 (fused-kernel VMEM)
+                S += 1
+            Vp = _round_up(-(-Vd // S), VB)
+            idx = np.full((S, Vp), -1, np.int64)
+            for s in range(S):
+                rows = np.arange(s, Vd, S)
+                idx[s, :len(rows)] = rows
+            self.dsub[key] = (S, Vp, idx)
+        self._norms = {}
+
+    def _fused_tables(self, key: str):
+        """Host SMEM tables for one drive's fused sweep: s0, s1 int32 and
+        frac f32, each [S, Vp, n] (pad rows −1 → appended zero row)."""
+        grp = self.gx_all if key == "x" else self.gy_all
+        S, Vp, idx = self.dsub[key]
+
+        def take(a):
+            ext = np.concatenate(
+                [a, np.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
+            return ext[idx]
+        return take(grp.s0_fl), take(grp.s1_fl), take(grp.o_frac)
 
     # -- FP ------------------------------------------------------------
 
@@ -308,18 +340,19 @@ def _trace_clean() -> bool:
         return False
 
 
-def _norms_for(sp: _SartFastPlan):
-    """Precompute the static normalization tables (see _compute_norms).
+def _norms_for(sp: _SartFastPlan, fused: bool = False):
+    """Precompute the static normalization tables (see _compute_norms /
+    _compute_norms_fused).
 
     The cache must only ever hold CONCRETE arrays: when first called from
     inside an outer jit trace, caching would store tracers and leak them
     into later calls (UnexpectedTracerError). Inside a trace we recompute —
     the norm math simply becomes part of the traced program."""
-    if sp._norms is not None:
-        return sp._norms
-    norms = _compute_norms(sp)
+    if fused in sp._norms:
+        return sp._norms[fused]
+    norms = _compute_norms_fused(sp) if fused else _compute_norms(sp)
     if _trace_clean():
-        sp._norms = norms
+        sp._norms[fused] = norms
     return norms
 
 
@@ -356,6 +389,129 @@ def _compute_norms(sp: _SartFastPlan):
         fine.append(per_branch)
         bp_n.append(bp[0])
     return (nt_full, fine, jnp.stack(bp_n))
+
+
+def _compute_norms_fused(sp: _SartFastPlan):
+    """Static tables for the fused drive-blocked sweeps (os_sart_sweep):
+
+      nt_full [nv, Nt] — t-grid FP of ones per global view (R denominator)
+      per drive key: dict with
+        valid [Vpad, L]   — live-ray mask over the drive's full view set
+        inv2  [S, Vp, L]  — pre-masked scale/n_fine in subset layout (the
+                            kernel deposits with raw (1−frac, frac) weights,
+                            so the area scale folds in here)
+        nrmi  [S, n, n]   — per-subset 1/BP(valid) in DRIVE frame
+    """
+    p = sp.p
+    eps = 1e-8
+    nv = len(sp.view_ids)
+    scale = np.float32(p.dp_pix * p.dp_pix / p.dt)
+    ones_img = jnp.ones((1, p.n, p.n), jnp.float32)
+    nt_full = jnp.zeros((nv, p.Nt), jnp.float32)
+    per_drive = {}
+    for key, grp in (("x", sp.gx_all), ("y", sp.gy_all)):
+        if grp.V == 0:
+            continue
+        nt = sp._fp_group(ones_img, grp)[0]                    # [V, Nt]
+        nt_full = nt_full.at[jnp.asarray(grp.local_ids)].set(nt)
+        S, Vp, idx = sp.dsub[key]
+        nf = sp._fp_group_fine(ones_img, grp)[:, 0, :]         # [Vpad, L]
+        qvalid = jnp.asarray(grp.fine_tables()[3])
+        valid = (nf > eps).astype(jnp.float32) * qvalid
+        inv2_rows = jnp.where(valid > 0,
+                              scale / jnp.maximum(nf, eps), 0.0)
+        ext = jnp.concatenate(
+            [inv2_rows[:grp.V], jnp.zeros((1, grp.L), jnp.float32)])
+        inv2 = ext[jnp.asarray(idx)]                           # [S, Vp, L]
+        s0, s1, frac = sp._fused_tables(key)
+        vext = jnp.concatenate(
+            [valid[:grp.V], jnp.zeros((1, grp.L), jnp.float32)])
+        vsub = vext[jnp.asarray(idx)]                          # [S, Vp, L]
+        nrm = []
+        for s in range(S):
+            bpn = bp_shift_accumulate_batched(
+                vsub[s][:, None, :], jnp.asarray(s0[s]), jnp.asarray(s1[s]),
+                jnp.asarray(frac[s]), p.n, vb=min(8, Vp))[0]   # [n, n]
+            nrm.append(jnp.where(bpn > eps, 1.0 / jnp.maximum(bpn, eps),
+                                 0.0))
+        per_drive[key] = dict(valid=valid, inv2=inv2,
+                              nrmi=jnp.stack(nrm),
+                              s0=jnp.asarray(s0), s1=jnp.asarray(s1),
+                              frac=jnp.asarray(frac))
+    return (nt_full, per_drive)
+
+
+@partial(jax.jit, static_argnames=("sp", "nstart", "ntv"))
+def _sart_iterate_fused(sp: _SartFastPlan, par: jnp.ndarray, norms,
+                        nstart: int, ntv: int) -> jnp.ndarray:
+    """OS-SART via the fused drive-blocked sweep kernel: per sweep, ONE
+    os_sart_sweep launch per drive axis (grid over that drive's subsets)
+    instead of ~4 thunks per (subset, branch) — the unfused loop's ~0.5 ms
+    thunk-sequencing floor dominates its runtime (measured: convert time
+    scales with nsubsets, not with view count)."""
+    p = sp.p
+    n = p.n
+    eps = 1e-8
+    B = par.shape[0]
+    nt_full, per_drive = norms
+    R = jnp.where(nt_full[None] > eps, par / jnp.maximum(nt_full[None], eps),
+                  0.0)
+    # measured ratios, resampled to each drive's fine grid and laid out
+    # [S, Vp, B, L] once per convert
+    rf = {}
+    for key, grp in (("x", sp.gx_all), ("y", sp.gy_all)):
+        if grp.V == 0:
+            continue
+        d = per_drive[key]
+        S, Vp, idx = sp.dsub[key]
+        rfa = sp._resample_to_fine(R, grp) * d["valid"][:, None, :]
+        ext = jnp.concatenate(
+            [rfa[:grp.V], jnp.zeros((1, B, grp.L), rfa.dtype)])
+        rf[key] = ext[jnp.asarray(idx)]                        # [S,Vp,B,L]
+
+    lam0, alpha0, sigma0 = 0.24, 0.1, 0.8
+    x0 = jnp.zeros((B, n, n), jnp.float32)
+    tv_grad_b = jax.vmap(nsl0_tv_grad, in_axes=(0, None))
+
+    def sweep(carry, it):
+        x, lam, alpha, sigma = carry
+        x_back = x
+        if sp.gx_all.V:
+            d = per_drive["x"]
+            x = os_sart_sweep(x, rf["x"], d["inv2"], d["frac"], d["s0"],
+                              d["s1"], d["nrmi"], lam)
+        if sp.gy_all.V:
+            d = per_drive["y"]
+            xt = jnp.swapaxes(x, 1, 2)
+            xt = os_sart_sweep(xt, rf["y"], d["inv2"], d["frac"], d["s0"],
+                               d["s1"], d["nrmi"], lam)
+            x = jnp.swapaxes(xt, 1, 2)
+        dp = jnp.sqrt(jnp.sum((x - x_back) ** 2, axis=(1, 2)))  # [B]
+        x_res = x
+        sigma = jnp.maximum(sigma * 0.90, 0.1)
+        dtvg = alpha * dp
+
+        def tv_step(xc, _):
+            gr = tv_grad_b(xc, sigma)
+            gr = jnp.where((xc < 0) & (gr > 0), 1e-8, gr)
+            xc = jnp.maximum(xc, 0.0)
+            normg = jnp.sqrt(jnp.sum(gr ** 2, axis=(1, 2)))
+            return (xc - (dtvg / jnp.maximum(normg, 1e-12))[:, None, None]
+                    * gr, None)
+
+        if ntv > 0:
+            x_pre = x
+            x, _ = jax.lax.scan(tv_step, x, None, length=ntv)
+            dg = jnp.sqrt(jnp.sum((x - x_pre) ** 2, axis=(1, 2)))
+            alpha = jnp.where(dg > 0.995 * dp, alpha * 0.96, alpha)
+        lam = lam * 0.95
+        return (x, lam, alpha, sigma), x_res
+
+    (_, _, _, _), x_res_all = jax.lax.scan(
+        sweep, (x0, jnp.float32(lam0),
+                jnp.full((B,), alpha0, jnp.float32),
+                jnp.float32(sigma0)), jnp.arange(nstart))
+    return x_res_all[-1]
 
 
 @partial(jax.jit, static_argnames=("sp", "nstart", "ntv"))
@@ -427,18 +583,20 @@ def _sart_iterate(sp: _SartFastPlan, par: jnp.ndarray, norms,
 
 def sart_fast_convert(pj: jnp.ndarray, g: FBPGeometry, nstart: int = 10,
                       ntv: int = 0, nsubsets: int = 40,
-                      sample_rate: int = 1,
-                      fold: bool = True) -> jnp.ndarray:
+                      sample_rate: int = 1, fold: bool = True,
+                      fused: bool = True) -> jnp.ndarray:
     """[B, na, nr] fan sinograms → [B, n, n] images in fbp_convert
     orientation. Drop-in fast ART for the Convertor (reference semantics:
     recons_torch nstart sweeps, ntv TV steps, sample_rate view subsampling
     — TASART2DNSL0_PyAPI.cpp:33-57, re-derived in folded rebinned-parallel
     geometry with Pallas projectors). The whole batch reconstructs in one
-    jitted scan."""
+    jitted scan; `fused=True` runs the drive-blocked fused sweep kernel
+    (os_sart_sweep), `fused=False` the unfused per-subset kernel chain."""
     sample_rate = int(sample_rate)
     fold = bool(fold) and g.M % 2 == 0
+    fused = bool(fused)
     sp = _splan_for(g, nsubsets, fold=fold, sample_rate=sample_rate)
-    norms = _norms_for(sp)
+    norms = _norms_for(sp, fused=fused)
     pj = pj[:, :, ::-1]                      # detector flip (fbp convention)
     par = _rebin(pj, sp.p)                   # [B, M, Nt]
     if fold:
@@ -446,7 +604,8 @@ def sart_fast_convert(pj: jnp.ndarray, g: FBPGeometry, nstart: int = 10,
         par = 0.5 * (par[:, :M // 2, :] + par[:, M // 2:, ::-1])
     if sample_rate > 1:
         par = par[:, ::sample_rate]
-    img = _sart_iterate(sp, par, norms, int(nstart), int(ntv))
+    iterate = _sart_iterate_fused if fused else _sart_iterate
+    img = iterate(sp, par, norms, int(nstart), int(ntv))
     return img[:, :, ::-1]                   # x flip (fbp convention)
 
 

@@ -130,6 +130,22 @@ def test_fp_plane_deposit_semantics():
 
 
 @pytest.mark.slow
+def test_fused_sweep_matches_unfused(setup):
+    """The fused drive-blocked sweep kernel (os_sart_sweep) reconstructs
+    the same image as the unfused per-subset kernel chain (the drive-pure
+    OS ordering is a different but equivalent subset schedule)."""
+    fan, g, ph, proj = setup
+    pj = jnp.asarray(proj[None])
+    a = np.asarray(sart_fast_convert(pj, g, nstart=4, nsubsets=18,
+                                     fused=False))[0]
+    b = np.asarray(sart_fast_convert(pj, g, nstart=4, nsubsets=18,
+                                     fused=True))[0]
+    c = 4
+    p = _psnr(a[c:-c, c:-c], b[c:-c, c:-c])
+    assert p > 35.0, f"fused-vs-unfused PSNR {p}"
+
+
+@pytest.mark.slow
 def test_batched_convert_matches_single(setup):
     """The B-batched SART scan is item-wise identical to per-item runs."""
     fan, g, ph, proj = setup
