@@ -113,17 +113,16 @@ class _Group:
         self.sgn = sgn.astype(np.float32)
         self.step = step.astype(np.float32)
         self.beta0 = beta0.astype(np.float32)
+        # small per-view vectors for on-device table reconstruction
+        self.other = other.astype(np.float32)                  # [n]
+        self.ob = (otrig / dt).astype(np.float32)              # [V]
+        self.c0 = ((drive[0] * dtrig + p.T) / dt).astype(np.float32)
         # unified flat layout: Lq sized so every deposit/read window stays
         # inside one k-plane (r_max + Wn + roll margin ≤ Lq)
         self.Wn = _round_up(n, 128)
         o_hi = int(self.o_int.max() + 1 if self.V else 0)
         self.Lq = o_hi // Kf + self.Wn + 132
         self.L = _round_up(Kf * self.Lq + 128, 128)
-        o64 = self.o_int.astype(np.int64)
-        self.s0_fl = ((o64 % Kf) * self.Lq + o64 // Kf).astype(np.int32)
-        o64 += 1
-        self.s1_fl = ((o64 % Kf) * self.Lq + o64 // Kf).astype(np.int32)
-        self._fine_tables = None
 
     def pad_v(self, arr: np.ndarray, fill=0) -> np.ndarray:
         if self.V == self.Vpad:
@@ -131,28 +130,62 @@ class _Group:
         pads = [(0, self.Vpad - self.V)] + [(0, 0)] * (arr.ndim - 1)
         return np.pad(arr, pads, constant_values=fill)
 
+    def _pad_vec(self, v: np.ndarray, fill=0.0) -> jnp.ndarray:
+        """[V] host vector → [Vpad] device vector (tiny HLO constant)."""
+        if self.Vpad > self.V:
+            v = np.pad(v, (0, self.Vpad - self.V), constant_values=fill)
+        return jnp.asarray(v)
+
+    def dev_row_tables(self):
+        """(s0, s1 int32, frac f32), each [Vpad, n], computed ON DEVICE
+        from per-view scalars. Embedding the host [V, n] index tables as
+        jitted constants made outer programs ~100 MB of HLO (700 s
+        compiles); here the only constants are [V]- and [n]-vectors. Row y
+        of view v deposits at o = (sgn·b(y, v) − β0_v)/step_v with
+        b = other_y·ob_v + c0_v (affine in the non-driven coordinate)."""
+        other = jnp.asarray(self.other)                        # [n]
+        ob = self._pad_vec(self.ob)
+        c0 = self._pad_vec(self.c0)
+        sgn = self._pad_vec(self.sgn)
+        step = self._pad_vec(self.step, fill=1.0)
+        beta0 = self._pad_vec(self.beta0)
+        b = other[None, :] * ob[:, None] + c0[:, None]         # [Vpad, n]
+        o = (jnp.where(sgn[:, None] > 0, b, -b)
+             - beta0[:, None]) / step[:, None]
+        oi = jnp.floor(o)
+        frac = (o - oi).astype(jnp.float32)
+        smax = self.L - self.Wn - 128
+        oi = jnp.clip(oi.astype(jnp.int32), 0, smax)
+        s0 = (oi % self.K) * self.Lq + oi // self.K
+        oi1 = oi + 1
+        s1 = (oi1 % self.K) * self.Lq + oi1 // self.K
+        live = (jnp.arange(self.Vpad) < self.V)[:, None]
+        return (jnp.clip(jnp.where(live, s0, 0), 0, smax),
+                jnp.clip(jnp.where(live, s1, 0), 0, smax),
+                jnp.where(live, frac, 0.0))
+
     def fine_tables(self):
-        """Static t→fine resample tables over the flat layout, padded to
-        Vpad: (qi0, qi1 int32 [Vpad, L], qf f32, qvalid f32). Fine ray
-        m(f) = (f % Lq)·K + f // Lq sits at t position sgn·(step·m + β0)."""
-        if self._fine_tables is not None:
-            return self._fine_tables
+        """t→fine resample tables over the flat layout, ON DEVICE (see
+        dev_row_tables), padded to Vpad: (qi0, qi1 int32 [Vpad, L], qf f32,
+        qvalid f32). Fine ray m(f) = (f % Lq)·K + f // Lq sits at t
+        position sgn·(step·m + β0); pad rows are masked dead."""
         Nt = self.p.Nt
-        f = np.arange(self.L)
+        f = jnp.arange(self.L, dtype=jnp.int32)
         m = (f % self.Lq) * self.K + f // self.Lq              # [L]
-        live = (f // self.Lq) < self.K
-        qpos = (self.sgn[:, None]
-                * (self.step[:, None] * m[None, :].astype(np.float32)
-                   + self.beta0[:, None]))                     # [V, L]
-        qi = np.floor(qpos)
-        qf = (qpos - qi).astype(np.float32)
-        qi0 = np.clip(qi, 0, Nt - 1).astype(np.int32)
-        qi1 = np.clip(qi + 1, 0, Nt - 1).astype(np.int32)
-        qvalid = ((qpos >= 0.0) & (qpos <= Nt - 1)
-                  & live[None, :]).astype(np.float32)
-        self._fine_tables = (self.pad_v(qi0), self.pad_v(qi1),
-                             self.pad_v(qf), self.pad_v(qvalid))
-        return self._fine_tables
+        live_f = (f // self.Lq) < self.K
+        sgn = self._pad_vec(self.sgn)
+        step = self._pad_vec(self.step, fill=1.0)
+        beta0 = self._pad_vec(self.beta0)
+        qpos = (sgn[:, None] * (step[:, None] * m[None, :].astype(jnp.float32)
+                                + beta0[:, None]))             # [Vpad, L]
+        qi = jnp.floor(qpos)
+        qf = (qpos - qi).astype(jnp.float32)
+        qi0 = jnp.clip(qi.astype(jnp.int32), 0, Nt - 1)
+        qi1 = jnp.clip(qi.astype(jnp.int32) + 1, 0, Nt - 1)
+        live_v = (jnp.arange(self.Vpad) < self.V)[:, None]
+        qvalid = ((qpos >= 0.0) & (qpos <= Nt - 1) & live_f[None, :]
+                  & live_v).astype(jnp.float32)
+        return qi0, qi1, qf, qvalid
 
 
 class _SartFastPlan:
@@ -213,16 +246,19 @@ class _SartFastPlan:
         self._norms = {}
 
     def _fused_tables(self, key: str):
-        """Host SMEM tables for one drive's fused sweep: s0, s1 int32 and
-        frac f32, each [S, Vp, n] (pad rows −1 → appended zero row)."""
+        """SMEM tables for one drive's fused sweep: s0, s1 int32 and frac
+        f32, each [S, Vp, n] (pad rows −1 → appended zero row). Built on
+        device from the drive group's dev_row_tables."""
         grp = self.gx_all if key == "x" else self.gy_all
         S, Vp, idx = self.dsub[key]
+        s0, s1, frac = grp.dev_row_tables()                    # [Vpad, n]
+        ii = jnp.asarray(idx)
 
         def take(a):
-            ext = np.concatenate(
-                [a, np.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
-            return ext[idx]
-        return take(grp.s0_fl), take(grp.s1_fl), take(grp.o_frac)
+            ext = jnp.concatenate(
+                [a[:grp.V], jnp.zeros((1, a.shape[1]), a.dtype)], axis=0)
+            return ext[ii]
+        return take(s0), take(s1), take(frac)
 
     # -- FP ------------------------------------------------------------
 
@@ -239,10 +275,10 @@ class _SartFastPlan:
         if grp.Wn > n:
             rows = jnp.pad(rows, ((0, 0), (0, 0), (0, grp.Wn - n)))
         scale = np.float32(p.dp_pix * p.dp_pix / p.dt)
-        s0 = jnp.asarray(grp.pad_v(grp.s0_fl))
-        s1 = jnp.asarray(grp.pad_v(grp.s1_fl))
-        w0 = jnp.asarray(grp.pad_v((1.0 - grp.o_frac) * scale))
-        w1 = jnp.asarray(grp.pad_v(grp.o_frac * scale))
+        s0, s1, frac = grp.dev_row_tables()
+        live = (jnp.arange(grp.Vpad) < grp.V)[:, None]
+        w0 = jnp.where(live, (1.0 - frac) * scale, 0.0)
+        w1 = frac * scale
         return fp_plane_deposit(rows, s0, s1, w0, w1, grp.L)
 
     def _fp_group(self, img: jnp.ndarray, grp: _Group) -> jnp.ndarray:
@@ -291,9 +327,7 @@ class _SartFastPlan:
         B = corr.shape[1]
         if grp.V == 0:
             return jnp.zeros((B, n, n), corr.dtype)
-        s0 = jnp.asarray(grp.pad_v(grp.s0_fl))
-        s1 = jnp.asarray(grp.pad_v(grp.s1_fl))
-        frac = jnp.asarray(grp.pad_v(grp.o_frac))
+        s0, s1, frac = grp.dev_row_tables()
         out = bp_shift_accumulate_batched(corr, s0, s1, frac, n)
         return out if grp.xdrive else jnp.swapaxes(out, 1, 2)
 
@@ -309,11 +343,9 @@ class _SartFastPlan:
             rv = jnp.pad(rv, ((0, grp.Vpad - grp.V), (0, 0), (0, 0)))
         # 3-D gathers measured faster than B-unrolled 2-D on v5e (SART
         # B=3: 3.18 s with this form vs 5.38 s unrolled)
-        i0 = jnp.broadcast_to(jnp.asarray(qi0)[:, None, :],
-                              (grp.Vpad, B, grp.L))
-        i1 = jnp.broadcast_to(jnp.asarray(qi1)[:, None, :],
-                              (grp.Vpad, B, grp.L))
-        f = jnp.asarray(qf)[:, None, :]
+        i0 = jnp.broadcast_to(qi0[:, None, :], (grp.Vpad, B, grp.L))
+        i1 = jnp.broadcast_to(qi1[:, None, :], (grp.Vpad, B, grp.L))
+        f = qf[:, None, :]
         return ((1 - f) * jnp.take_along_axis(rv, i0, axis=2)
                 + f * jnp.take_along_axis(rv, i1, axis=2))     # [Vpad, B, L]
 
