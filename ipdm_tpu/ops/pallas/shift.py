@@ -408,7 +408,7 @@ def fp_shift_deposit_batched(rows: jnp.ndarray, s0: jnp.ndarray,
 
 
 def _oss_kernel(s0_ref, s1_ref, frac_ref, lam_ref, rf_ref, inv2_ref,
-                nrmi_ref, x0_ref, x_ref, T, planes):
+                nrmi_ref, x0_ref, x_ref, T, planes, *, fp_roll=False):
     Vp, B, L = T.shape
     n = x_ref.shape[-1]
     W = -(-n // 128) * 128  # deposit width (row zero-padded to 128-mult)
@@ -419,15 +419,19 @@ def _oss_kernel(s0_ref, s1_ref, frac_ref, lam_ref, rf_ref, inv2_ref,
     def _():
         x_ref[...] = x0_ref[...]
 
+    def read_row(y):
+        row = x_ref[:, pl.ds(y, 1), :][:, 0, :]                # [B, n]
+        if W > n:
+            pad = jnp.broadcast_to(zf, (B, W - n)).astype(row.dtype)
+            row = jnp.concatenate([row, pad], axis=1)          # [B, W]
+        return row
+
     # ---- FP: plane-deposit all rows of all views into T ----------------
     def fp_view(vi, _):
         planes[...] = jnp.broadcast_to(zf, planes.shape).astype(planes.dtype)
 
         def row_body(y, _):
-            row = x_ref[:, pl.ds(y, 1), :][:, 0, :]            # [B, n]
-            if W > n:
-                pad = jnp.broadcast_to(zf, (B, W - n)).astype(row.dtype)
-                row = jnp.concatenate([row, pad], axis=1)      # [B, W]
+            row = read_row(y)
 
             def tap(s_ref_, w):
                 start = s_ref_[0, vi, y]
@@ -452,7 +456,32 @@ def _oss_kernel(s0_ref, s1_ref, frac_ref, lam_ref, rf_ref, inv2_ref,
         T[pl.ds(vi, 1)] = jax.lax.fori_loop(0, 128, comb_body, z0)[None]
         return 0
 
-    jax.lax.fori_loop(0, Vp, fp_view, 0)
+    # ---- FP variant: direct roll-deposit into T (no plane scratch) -----
+    def fp_view_roll(vi, _):
+        T[pl.ds(vi, 1)] = jnp.broadcast_to(zf, (1, B, L)).astype(T.dtype)
+
+        def row_body(y, _):
+            row = read_row(y)
+            zpad = jnp.broadcast_to(zf, (B, 128)).astype(row.dtype)
+            padded = jnp.concatenate([row, zpad], axis=1)      # [B, W+128]
+
+            def tap(s_ref_, w):
+                start = s_ref_[0, vi, y]
+                base = pl.multiple_of((start // 128) * 128, 128)
+                rem = start - base
+                rolled = pltpu.roll(w * padded, shift=rem, axis=1)
+                cur = T[pl.ds(vi, 1), :, pl.ds(base, W + 128)]
+                T[pl.ds(vi, 1), :, pl.ds(base, W + 128)] = cur + rolled[None]
+
+            f = frac_ref[0, vi, y]
+            tap(s0_ref, 1.0 - f)
+            tap(s1_ref, f)
+            return 0
+
+        jax.lax.fori_loop(0, n, row_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, Vp, fp_view_roll if fp_roll else fp_view, 0)
 
     # ---- correction (elementwise, pre-masked tables) -------------------
     T[...] = rf_ref[0] - T[...] * inv2_ref[0][:, None, :]
@@ -491,11 +520,12 @@ def _oss_kernel(s0_ref, s1_ref, frac_ref, lam_ref, rf_ref, inv2_ref,
     x_ref[...] = jnp.maximum(x_ref[...], zf)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "fp_roll"))
 def os_sart_sweep(x: jnp.ndarray, rf: jnp.ndarray, inv2: jnp.ndarray,
                   frac: jnp.ndarray, s0: jnp.ndarray, s1: jnp.ndarray,
                   nrmi: jnp.ndarray, lam: jnp.ndarray,
-                  interpret: bool = False) -> jnp.ndarray:
+                  interpret: bool = False,
+                  fp_roll: bool = False) -> jnp.ndarray:
     """One OS-SART sweep over a drive's subsets, fused in one kernel.
 
     x: [B, n, n] drive-frame image (rows are deposit rows). rf: [S, Vp, B, L]
@@ -510,7 +540,7 @@ def os_sart_sweep(x: jnp.ndarray, rf: jnp.ndarray, inv2: jnp.ndarray,
     assert L % 128 == 0
     lam2 = jnp.reshape(jnp.asarray(lam, x.dtype), (1, 1))
     return pl.pallas_call(
-        _oss_kernel,
+        functools.partial(_oss_kernel, fp_roll=fp_roll),
         grid=(S,),
         in_specs=[
             pl.BlockSpec((1, Vp, n), lambda s: (s, 0, 0),

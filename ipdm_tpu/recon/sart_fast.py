@@ -473,9 +473,10 @@ def _compute_norms_fused(sp: _SartFastPlan):
     return (nt_full, per_drive)
 
 
-@partial(jax.jit, static_argnames=("sp", "nstart", "ntv"))
+@partial(jax.jit, static_argnames=("sp", "nstart", "ntv", "fp_roll"))
 def _sart_iterate_fused(sp: _SartFastPlan, par: jnp.ndarray, norms,
-                        nstart: int, ntv: int) -> jnp.ndarray:
+                        nstart: int, ntv: int,
+                        fp_roll: bool = False) -> jnp.ndarray:
     """OS-SART via the fused drive-blocked sweep kernel: per sweep, ONE
     os_sart_sweep launch per drive axis (grid over that drive's subsets)
     instead of ~4 thunks per (subset, branch) — the unfused loop's ~0.5 ms
@@ -511,12 +512,12 @@ def _sart_iterate_fused(sp: _SartFastPlan, par: jnp.ndarray, norms,
         if sp.gx_all.V:
             d = per_drive["x"]
             x = os_sart_sweep(x, rf["x"], d["inv2"], d["frac"], d["s0"],
-                              d["s1"], d["nrmi"], lam)
+                              d["s1"], d["nrmi"], lam, fp_roll=fp_roll)
         if sp.gy_all.V:
             d = per_drive["y"]
             xt = jnp.swapaxes(x, 1, 2)
             xt = os_sart_sweep(xt, rf["y"], d["inv2"], d["frac"], d["s0"],
-                               d["s1"], d["nrmi"], lam)
+                               d["s1"], d["nrmi"], lam, fp_roll=fp_roll)
             x = jnp.swapaxes(xt, 1, 2)
         dp = jnp.sqrt(jnp.sum((x - x_back) ** 2, axis=(1, 2)))  # [B]
         x_res = x
@@ -616,7 +617,8 @@ def _sart_iterate(sp: _SartFastPlan, par: jnp.ndarray, norms,
 def sart_fast_convert(pj: jnp.ndarray, g: FBPGeometry, nstart: int = 10,
                       ntv: int = 0, nsubsets: int = 40,
                       sample_rate: int = 1, fold: bool = True,
-                      fused: bool = True) -> jnp.ndarray:
+                      fused: bool = True,
+                      fp_roll: bool = False) -> jnp.ndarray:
     """[B, na, nr] fan sinograms → [B, n, n] images in fbp_convert
     orientation. Drop-in fast ART for the Convertor (reference semantics:
     recons_torch nstart sweeps, ntv TV steps, sample_rate view subsampling
@@ -636,8 +638,11 @@ def sart_fast_convert(pj: jnp.ndarray, g: FBPGeometry, nstart: int = 10,
         par = 0.5 * (par[:, :M // 2, :] + par[:, M // 2:, ::-1])
     if sample_rate > 1:
         par = par[:, ::sample_rate]
-    iterate = _sart_iterate_fused if fused else _sart_iterate
-    img = iterate(sp, par, norms, int(nstart), int(ntv))
+    if fused:
+        img = _sart_iterate_fused(sp, par, norms, int(nstart), int(ntv),
+                                  fp_roll=bool(fp_roll))
+    else:
+        img = _sart_iterate(sp, par, norms, int(nstart), int(ntv))
     return img[:, :, ::-1]                   # x flip (fbp convention)
 
 
