@@ -87,12 +87,16 @@ def main():
     # bf16 activations (f32 params/accumulation): measured metric parity with
     # f32 on the full progressive pipeline to 3-4 decimals (docs/PERF.md) —
     # the std-normalised guidance blend re-normalises activation noise away
+    # attention_resolutions are the FLAGSHIP PRESET's ([8,16] img, [16,32]
+    # proj — test_progressive_option.json), not default_config.py's
+    # ([16]/[32]): the preset overrides the defaults and the pretrained
+    # checkpoints it loads were trained with the extra attention levels.
     img_model = UNetModel(in_channels=1, model_channels=64, out_channels=1,
-                          num_res_blocks=2, attention_resolutions=(16,),
+                          num_res_blocks=2, attention_resolutions=(8, 16),
                           channel_mult=(1, 1, 2, 2, 4, 4),
                           dtype=jnp.bfloat16)
     proj_model = UNetModel(in_channels=1, model_channels=64, out_channels=1,
-                           num_res_blocks=2, attention_resolutions=(32,),
+                           num_res_blocks=2, attention_resolutions=(16, 32),
                            channel_mult=(0.0625, 0.125, 0.25, 2, 2, 4, 4),
                            dtype=jnp.bfloat16)
     t0 = time.time()

@@ -21,20 +21,24 @@ re-derives the iterative reconstruction TPU-first:
     value in deposit units is m'_fine = n_fine · R (both sides are the
     same ray functional applied to the image). The t grid never appears
     inside the sweeps;
-  * **FP** per view: image rows are deposited at per-row dynamic offsets
-    into a (k, r)-transposed fine layout by the Pallas `fp_plane_deposit`
-    kernel (aligned plane deposits, no per-row rolls);
-  * **BP** per view: the correction is already laid out in the SAME flat
-    fine layout the FP deposits into; the Pallas
-    `bp_shift_accumulate_batched` kernel reads it back with the exact
-    adjoint taps (same starts, same (1−frac, frac) weights);
-  * the batch dim **rides inside both kernels and the sweep scan** — the
+  * the default path runs each sweep as ONE fused Pallas launch per drive
+    axis (`ops.pallas.shift.os_sart_sweep`): grid over that drive's
+    subsets, the image persisting in the revisited output block, each grid
+    step = FP plane-deposit → elementwise ratio correction → BP roll-table
+    reads accumulated straight into the image → relaxed update → clamp
+    (the unfused per-subset kernel chain issued ~3200 device thunks per
+    convert and was bound by the ~0.5 ms thunk sequencing floor;
+    `fused=False` keeps it for A/B);
+  * all per-view index/weight tables are rebuilt ON DEVICE from [V]-sized
+    scalars (deposit offsets are affine in the non-driven coordinate) —
+    embedding them as jitted constants made outer programs ~100 MB of HLO;
+  * the batch dim **rides inside the kernels and the sweep scan** — the
     progressive pipeline's three guided-iteration converts run as one
     B=3 reconstruction at ~the cost of one;
-  * views are processed in ordered subsets; each subset splits statically
-    into x-driven / y-driven quadrant groups (y-driven work runs on the
-    transposed image); subsets unroll inside one sweep body that lax.scans
-    over the `nstart` sweeps;
+  * views are partitioned into drive-pure angle-interleaved ordered
+    subsets (y-driven work runs on the transposed image between the two
+    per-sweep kernel launches); the OS subset order is a free choice — the
+    reference's is 2000 single-view subsets (TASART2DNSL0.cu:832-882);
   * `sample_rate` view subsampling (recons_torch's sparse-view mode,
     TASART2DNSL0_PyAPI.cpp:37) keeps every sample_rate-th (folded) view in
     the iteration;
@@ -107,9 +111,7 @@ class _Group:
         step = a_abs / Kf                                      # [V]
         beta0 = b_adj.min(axis=0) - 2 * step                   # [V]
         o_real = (b_adj - beta0[None, :]) / step[None, :]      # [n, V]
-        o_int = np.floor(o_real).astype(np.int32)
-        self.o_frac = (o_real - np.floor(o_real)).astype(np.float32).T
-        self.o_int = o_int.T                                   # [V, n]
+        self.o_int = np.floor(o_real).astype(np.int32).T       # [V, n]
         self.sgn = sgn.astype(np.float32)
         self.step = step.astype(np.float32)
         self.beta0 = beta0.astype(np.float32)
@@ -123,12 +125,6 @@ class _Group:
         o_hi = int(self.o_int.max() + 1 if self.V else 0)
         self.Lq = o_hi // Kf + self.Wn + 132
         self.L = _round_up(Kf * self.Lq + 128, 128)
-
-    def pad_v(self, arr: np.ndarray, fill=0) -> np.ndarray:
-        if self.V == self.Vpad:
-            return arr
-        pads = [(0, self.Vpad - self.V)] + [(0, 0)] * (arr.ndim - 1)
-        return np.pad(arr, pads, constant_values=fill)
 
     def _pad_vec(self, v: np.ndarray, fill=0.0) -> jnp.ndarray:
         """[V] host vector → [Vpad] device vector (tiny HLO constant)."""

@@ -107,6 +107,50 @@ def test_simulate_ldct_fast_path(setup):
     assert r > 0.75, f"corr {r}"
 
 
+@pytest.mark.parametrize("fp_roll", [False, True])
+def test_os_sart_sweep_semantics(fp_roll):
+    """The fused sweep kernel == the naive per-subset FP→corr→BP→update
+    loop (interpret mode on CPU), for both FP deposit patterns."""
+    from ipdm_tpu.ops.pallas.shift import os_sart_sweep
+    rng = np.random.RandomState(0)
+    S, Vp, B, n, L = 3, 8, 2, 32, 512
+    W = 128  # deposit width (n rounded up to 128)
+    lam = 0.3
+    x0 = rng.rand(B, n, n).astype(np.float32)
+    rf = rng.rand(S, Vp, B, L).astype(np.float32)
+    inv2 = rng.rand(S, Vp, L).astype(np.float32)
+    frac = rng.rand(S, Vp, n).astype(np.float32)
+    s0 = rng.randint(0, L - W - 128, (S, Vp, n)).astype(np.int32)
+    s1 = np.minimum(s0 + 1, L - W - 129).astype(np.int32)
+    nrmi = rng.rand(S, n, n).astype(np.float32)
+    got = np.asarray(os_sart_sweep(
+        jnp.asarray(x0), jnp.asarray(rf), jnp.asarray(inv2),
+        jnp.asarray(frac), jnp.asarray(s0), jnp.asarray(s1),
+        jnp.asarray(nrmi), jnp.float32(lam), interpret=True,
+        fp_roll=fp_roll))
+
+    x = x0.copy()
+    for s in range(S):
+        T = np.zeros((Vp, B, L), np.float32)
+        for v in range(Vp):
+            for y in range(n):
+                row = np.zeros((B, W), np.float32)
+                row[:, :n] = x[:, y, :]
+                T[v, :, s0[s, v, y]:s0[s, v, y] + W] += \
+                    (1 - frac[s, v, y]) * row
+                T[v, :, s1[s, v, y]:s1[s, v, y] + W] += frac[s, v, y] * row
+        corr = rf[s] - T * inv2[s][:, None, :]
+        for v in range(Vp):
+            for y in range(n):
+                acc = ((1 - frac[s, v, y])
+                       * corr[v, :, s0[s, v, y]:s0[s, v, y] + n]
+                       + frac[s, v, y]
+                       * corr[v, :, s1[s, v, y]:s1[s, v, y] + n])
+                x[:, y, :] += lam * nrmi[s, y, :][None] * acc
+        x = np.maximum(x, 0.0)
+    np.testing.assert_allclose(got, x, rtol=2e-4, atol=2e-4)
+
+
 def test_fp_plane_deposit_semantics():
     """The plane-deposit FP kernel (v2) == the naive two-tap deposit loop
     (interpret mode on CPU), including the batch dim riding inside."""
