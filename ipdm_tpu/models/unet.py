@@ -304,10 +304,53 @@ class ResidualBlock(nn.Module):
         return h + x
 
 
+# Sequence length above which self-attention runs as a Pallas flash kernel
+# instead of the naive T×S matrix: the flagship preset's extra attention
+# levels (img ds=8 → 4096 tokens, proj ds=16 → 7125 tokens) would otherwise
+# materialize 268-812 MB float32 score matrices per block in HBM. Below the
+# threshold the naive path's matrices are small (≤ ~53 MB) and measured fine.
+FLASH_MIN_SEQ = 4096
+_FLASH_BLOCK = 512
+
+
+def _flash_available() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _flash_attention(q, k, v, sm_scale: float):
+    """q, k, v: [B, T, heads, hd]. Exact softmax attention via the Pallas
+    TPU flash kernel (online-softmax tiling; the T×S score matrix never
+    leaves VMEM). Same math as the naive einsum path up to fp reassociation.
+    T is padded to a block multiple; padded queries attend only padded
+    (zero) keys via segment ids, so real rows are unaffected."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention)
+
+    B, T, nh, hd = q.shape
+    Tp = -(-T // _FLASH_BLOCK) * _FLASH_BLOCK
+    qt = jnp.transpose(q, (0, 2, 1, 3))          # [B, heads, T, hd]
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    seg = None
+    if Tp != T:
+        pad = ((0, 0), (0, 0), (0, Tp - T), (0, 0))
+        qt, kt, vt = jnp.pad(qt, pad), jnp.pad(kt, pad), jnp.pad(vt, pad)
+        ids = (jnp.arange(Tp, dtype=jnp.int32) >= T).astype(jnp.int32)
+        ids = jnp.broadcast_to(ids[None], (B, Tp))
+        seg = SegmentIds(q=ids, kv=ids)
+    out = flash_attention(qt, kt, vt, segment_ids=seg, causal=False,
+                          sm_scale=sm_scale)
+    return jnp.transpose(out[:, :, :T], (0, 2, 1, 3))
+
+
 class AttentionBlock(nn.Module):
     """Self-attention over H·W tokens with residual (reference model.py:135-155).
     Scale 1/√√(C/heads) applied to both q and k; softmax in float32.
-    NHWC only — attention sits at deep levels."""
+    NHWC only — attention sits at deep levels. Long sequences run the
+    Pallas flash kernel (see FLASH_MIN_SEQ)."""
     channels: int
     num_heads: int = 1
     dtype: jnp.dtype = jnp.float32
@@ -322,10 +365,14 @@ class AttentionBlock(nn.Module):
         qkv = qkv.reshape(B, H * W, self.num_heads, 3 * hd)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         scale = 1.0 / math.sqrt(math.sqrt(hd))
-        attn = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhts,bshd->bthd", attn, v)
+        if H * W >= FLASH_MIN_SEQ and _flash_available():
+            # (q·s)·(k·s) == (q·k)/√hd: the kernel applies sm_scale = s²
+            out = _flash_attention(q, k, v, scale * scale)
+        else:
+            attn = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale,
+                              preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhts,bshd->bthd", attn, v)
         out = out.reshape(B, H, W, C)
         out = nn.Conv(C, (1, 1), dtype=self.dtype, param_dtype=jnp.float32,
                       name="proj")(out)

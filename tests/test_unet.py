@@ -238,3 +238,27 @@ def test_planar_mode_matches_nhwc():
     y_p = np.asarray(planar.apply(params, x, t))
     y_n = np.asarray(nhwc.apply(params, x, t))
     np.testing.assert_allclose(y_p, y_n, atol=2e-5, rtol=1e-4)
+
+
+def test_flash_attention_matches_naive():
+    """The Pallas flash-attention path (used for long sequences on TPU) ==
+    the naive T×S einsum path, including the segment-id masking of the
+    padded tail (T=600 pads to 1024)."""
+    import math
+    from jax.experimental.pallas import tpu as pltpu
+    from ipdm_tpu.models.unet import _flash_attention
+
+    rng = np.random.default_rng(0)
+    B, T, nh, hd = 1, 600, 4, 64
+    q = jnp.asarray(rng.standard_normal((B, T, nh, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, nh, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, nh, hd)), jnp.float32)
+    scale = 1.0 / math.sqrt(math.sqrt(hd))
+    attn = jnp.einsum("bthd,bshd->bhts", q * scale, k * scale,
+                      preferred_element_type=jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1)
+    want = jnp.einsum("bhts,bshd->bthd", attn, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = _flash_attention(q, k, v, scale * scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
