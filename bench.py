@@ -212,6 +212,18 @@ def main():
     slices_per_sec = 1.0 / dt
     log(f"{dt:.2f} s/slice, {slices_per_sec:.3f} slices/sec/chip (n={n})")
 
+    if "--per-slice" in sys.argv:
+        # variance diagnostic: fence each slice (adds ~0.15 s relay
+        # readback per slice — NOT the headline methodology)
+        ts = []
+        for i in range(n):
+            t1 = time.time()
+            _ = float(run_slice(20 + i).sum())
+            ts.append(time.time() - t1)
+        log("per-slice (fenced): " +
+            " ".join(f"{t:.2f}" for t in ts) +
+            f"  mean {np.mean(ts):.2f} std {np.std(ts):.2f}")
+
     est = (REF_ART_SLICES_PER_SEC_EST if art_mode
            else REF_FBP_SLICES_PER_SEC_EST)
     metric = ("ipdm_progressive_art_512px_slices_per_sec_per_chip"

@@ -6,8 +6,13 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: global env sets 'axon'
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_backend_optimization_level" not in flags:
+    # compile time dominates the suite on this 1-core box; opt level 0
+    # halves it (sharded train-step test: 118 s -> 55 s, numerics unchanged
+    # within test tolerances)
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 # jax may be pre-imported at interpreter startup (sitecustomize) with the
