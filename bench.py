@@ -132,12 +132,11 @@ def main():
         def convert(stacked):
             return fbp_convert(stacked, SIEMENS_FBP)
 
-    # The slice runs in as few device programs as possible: FBP mode is ONE
-    # jitted program end-to-end (round 1's headline). ART flagship mode has
-    # a data-dependent λ probe in the adaptive proj stage (one scalar
-    # readback between two fused programs, reference model.py:554-560), so
-    # it is proj-stage programs + ONE jitted tail (batched SART → img stage
-    # → ultra pass). Identical math/work to the dispatch-per-phase path.
+    # The slice runs as ONE jitted program end-to-end in BOTH modes: the
+    # flagship preset gives a static t_start list, so the per-pixel-λ probe
+    # needs no host readback (guided.fused_probe_and_iters) and the whole
+    # proj stage → convert → img stage → ultra pass chain traces into a
+    # single device program. Identical math/work to the per-phase path.
     @jax.jit
     def tail(rng, proj_iters_in, ld_img):
         stacked = jnp.concatenate([p[..., 0] for p in proj_iters_in], axis=0)
@@ -162,16 +161,20 @@ def main():
         return img_iters[-1]
 
     if art_mode:
-        def run_slice(seed):
-            rng = jax.random.PRNGKey(seed)
+        @jax.jit
+        def run_one(rng, ld_proj, ld_img):
             rng, k = jax.random.split(rng)
-            # adaptive per-pixel λ (constant_guidance_proj=None in preset)
+            # per-pixel λ after a cosine-λ probe (constant_guidance_proj
+            # = None in the preset, static t_start → fully traceable)
             iters, _, _ = guided_reverse_process(
                 proj_fn, gd_proj, ld_proj, k, t_start=[15, 15, 15],
                 clip=False, eta=0.5, mode="proj", constant_guidance=None,
                 lambda_ratio=1, lambda_curve=proj_curve, kernel_size=4,
                 amplitude=7)
             return tail(rng, iters, ld_img)
+
+        def run_slice(seed):
+            return run_one(jax.random.PRNGKey(seed), ld_proj, ld_img)
     else:
         @jax.jit
         def run_one(rng, ld_proj, ld_img):

@@ -187,6 +187,25 @@ def fused_iters(model_fn: Callable, gd: GaussianDiffusion, spec: RestSpec,
     return results
 
 
+@partial(jax.jit, static_argnames=("model_fn", "gd", "pspec", "rspec"))
+def fused_probe_and_iters(model_fn: Callable, gd: GaussianDiffusion,
+                          pspec: ProbeSpec, rspec: RestSpec,
+                          x0: jnp.ndarray, ldct: jnp.ndarray, rng):
+    """Probe + λ-map + all remaining iterations in ONE device program.
+
+    Used when the outer schedule is static (t_start given → no adaptive
+    noise-strength readback between probe and rest): dispatching the probe
+    and the rest separately costs a full param-tree marshal per program
+    through the device transport. Bit-identical to the split path — the
+    rng splits mirror guided_reverse_process's order exactly."""
+    rng, k_probe = jax.random.split(rng)
+    probe_x, delt_map, _ = fused_probe(model_fn, gd, pspec, x0, k_probe)
+    rng, k_rest = jax.random.split(rng)
+    out = fused_iters(model_fn, gd, rspec, x0, x0, x0, delt_map, ldct,
+                      k_rest)
+    return probe_x, out
+
+
 def guided_reverse_process(model_fn: Callable, gd: GaussianDiffusion,
                            img: jnp.ndarray, rng, t_start=None,
                            clip: bool = True, lambda_ratio: float = 1,
@@ -233,27 +252,39 @@ def guided_reverse_process(model_fn: Callable, gd: GaussianDiffusion,
     else:
         # probe iteration (cosine lambda) + schedule choice + map-lambda rest
         probe_ts = 20 if adaptive else int(t_start[0])
-        rng, k_probe = jax.random.split(rng)
         pspec = ProbeSpec(ts=probe_ts, mode=mode, clip=clip,
                           lambda_ratio=float(lambda_ratio),
                           kernel_size=int(kernel_size),
                           amplitude=float(amplitude), curve=lambda_curve)
+        if not adaptive:
+            # static schedule → no readback between probe and rest: run
+            # the whole multi-iteration process as ONE device program
+            sched = [int(t) for t in t_start[1:]]
+            spec = RestSpec(ts_list=tuple(sched), mode=mode, clip=clip,
+                            eta=float(eta), lambda_kind="map",
+                            has_ldct=ldct is not None,
+                            save_states=bool(save_states))
+            probe_x, out = fused_probe_and_iters(model_fn, gd, pspec, spec,
+                                                 img, ldct_arr, rng)
+            rest, img_reverse = out if save_states else (out, None)
+            img_iters = [probe_x] + rest
+            if len(img_iters) > 1:
+                img_iters.append((img_iters[-1] + img_iters[-2]) / 2)
+            return img_iters, img_reverse, out_noise_strength
+        rng, k_probe = jax.random.split(rng)
         probe_x, delt_map, dmax = fused_probe(model_fn, gd, pspec, img,
                                               k_probe)
-        if adaptive:
-            if mode == "img":
-                sched, eta, _ls = _IMG_ADAPTIVE[noise_strength]
-            else:
-                dmax_f = float(dmax)  # the one host sync per slice
-                if dmax_f >= 30:
-                    out_noise_strength = "high"
-                elif dmax_f >= 4.5:
-                    out_noise_strength = "mid"
-                else:
-                    out_noise_strength = "low"
-                sched, eta = _PROJ_ADAPTIVE[out_noise_strength]
+        if mode == "img":
+            sched, eta, _ls = _IMG_ADAPTIVE[noise_strength]
         else:
-            sched = [int(t) for t in t_start[1:]]
+            dmax_f = float(dmax)  # the one host sync per slice
+            if dmax_f >= 30:
+                out_noise_strength = "high"
+            elif dmax_f >= 4.5:
+                out_noise_strength = "mid"
+            else:
+                out_noise_strength = "low"
+            sched, eta = _PROJ_ADAPTIVE[out_noise_strength]
         rng, k_rest = jax.random.split(rng)
         spec = RestSpec(ts_list=tuple(sched), mode=mode, clip=clip,
                         eta=float(eta), lambda_kind="map",
