@@ -262,3 +262,34 @@ def test_flash_attention_matches_naive():
         got = _flash_attention(q, k, v, scale * scale)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_flash_attention_gradients_match_naive():
+    """Flash attention's custom VJP == autodiff through the naive path
+    (training uses the same kernel at the preset's 512² attention level)."""
+    import math
+    from jax.experimental.pallas import tpu as pltpu
+    from ipdm_tpu.models.unet import _flash_attention
+
+    rng = np.random.default_rng(1)
+    B, T, nh, hd = 1, 300, 2, 32
+    q = jnp.asarray(rng.standard_normal((B, T, nh, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, nh, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, nh, hd)), jnp.float32)
+    s = 1.0 / math.sqrt(math.sqrt(hd))
+
+    def naive(q, k, v):
+        a = jnp.einsum("bthd,bshd->bhts", q * s, k * s,
+                       preferred_element_type=jnp.float32)
+        a = jax.nn.softmax(a, axis=-1)
+        return (jnp.einsum("bhts,bshd->bthd", a, v) ** 2).sum()
+
+    def flash(q, k, v):
+        return (_flash_attention(q, k, v, s * s) ** 2).sum()
+
+    g1 = jax.grad(naive, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g2 = jax.grad(flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
