@@ -202,9 +202,8 @@ def main():
     # execution (fresh rng), the final sum depends on every output, and
     # in-flight slices pipeline across the relay instead of paying a
     # serialization round-trip per slice. (Per-slice fencing measured
-    # ~0.15 s/slice of pure relay latency.) The adaptive proj path fences
-    # once per slice internally (its λ probe) — that is part of the
-    # pipeline's real cost and is included.
+    # ~0.15 s/slice of pure relay latency.) Both modes are a single
+    # program per slice — no internal fences.
     n = 6
     t0 = time.time()
     outs = []

@@ -182,6 +182,14 @@ def _up2_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
     return y + bias
 
 
+# cin·cout bound for the scalar-FMA (VPU) planar conv path: covers the
+# full-resolution proj levels (1→4 stem, 4→8, 8→8) where the einsum
+# lowering is MXU M-stream-bound; 16-channel levels and up keep the einsum
+# (VPU term count grows ∝ cin·cout while the M-stream cost shrinks with
+# the downsampled resolution). Set to 0 to disable.
+VPU_UNROLL_MAX = 64
+
+
 class Conv3x3(nn.Module):
     """3×3 conv with 'kernel' (HWIO) / 'bias' params, three lowerings:
 
@@ -224,13 +232,30 @@ class Conv3x3(nn.Module):
             # v5e vs 1.1 ms this way (scripts/probe output in docs/PERF.md)
             cols = [xp[:, :, :, dw:dw + (Wo - 1) * s + 1:s]
                     for dw in range(3)]
+            shifted = [cols[dw][:, :, dh:dh + (Ho - 1) * s + 1:s, :]
+                       for dh in range(3) for dw in range(3)]
+            if cin * self.features <= VPU_UNROLL_MAX:
+                # Tiny-C planar convs are MXU M-stream-bound: a matmul over
+                # M = B·H·W pixel rows advances ~1 row/cycle no matter how
+                # skinny K = 9·cin, N = cout are (full-res proj level:
+                # 1.8M rows ≈ 1.9 ms/conv). Unrolled scalar-broadcast FMAs
+                # run on the VPU at ~9·cin·cout·H·W/1024 cycles instead.
+                outs = []
+                for o in range(self.features):
+                    acc = None
+                    for t9 in range(9):
+                        dh, dw = divmod(t9, 3)
+                        for c in range(cin):
+                            term = kernel[dh, dw, c, o] * shifted[t9][:, c]
+                            acc = term if acc is None else acc + term
+                    outs.append(acc + bias[o])
+                return jnp.stack(outs, axis=1)
             y = None
-            for dh in range(3):
-                for dw in range(3):
-                    sh = cols[dw][:, :, dh:dh + (Ho - 1) * s + 1:s, :]
-                    r = jnp.einsum("bchw,co->bohw", sh, kernel[dh, dw],
-                                   preferred_element_type=self.dtype)
-                    y = r if y is None else y + r
+            for t9 in range(9):
+                dh, dw = divmod(t9, 3)
+                r = jnp.einsum("bchw,co->bohw", shifted[t9], kernel[dh, dw],
+                               preferred_element_type=self.dtype)
+                y = r if y is None else y + r
             return y + bias[None, :, None, None]
         if cin > self.im2col_max_cin:
             y = jax.lax.conv_general_dilated(

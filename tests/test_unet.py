@@ -293,3 +293,27 @@ def test_flash_attention_gradients_match_naive():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_vpu_unroll_planar_conv_matches_einsum():
+    """The scalar-FMA planar conv path (tiny-C levels) == the einsum
+    lowering, including strides and the 1-channel stem."""
+    import ipdm_tpu.models.unet as um
+    from ipdm_tpu.models.unet import Conv3x3
+
+    rng = jax.random.PRNGKey(0)
+    old = um.VPU_UNROLL_MAX
+    try:
+        for cin, cout, s in [(1, 4, 1), (4, 8, 1), (8, 8, 1), (8, 8, 2)]:
+            x = jnp.asarray(np.random.default_rng(0).standard_normal(
+                (2, cin, 20, 28)), jnp.float32)
+            m = Conv3x3(cout, strides=s)
+            p = m.init(rng, x, planar=True)
+            um.VPU_UNROLL_MAX = 64
+            a = m.apply(p, x, planar=True)
+            um.VPU_UNROLL_MAX = 0
+            b = m.apply(p, x, planar=True)
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-5)
+    finally:
+        um.VPU_UNROLL_MAX = old
