@@ -565,6 +565,58 @@ def os_sart_sweep(x: jnp.ndarray, rf: jnp.ndarray, inv2: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Fan→parallel rebin: fused detector lerp + circular view-shift lerp
+# ---------------------------------------------------------------------------
+#
+# The XLA rebin (recon/fbp_fast._rebin) pays two 10.9M-element arbitrary
+# gathers per convert (row gather over det indices + flat windowed view
+# gather, ~47 ms for B=3 on v5e). Here: grid over the Nt parallel t-bins;
+# each step reads the two fan detector rows (leading-dim dynamic slices),
+# lerps them, and extracts the view window with one dynamic roll — the
+# same access-pattern toolkit as the BP/FP kernels.
+
+
+def _rebin_kernel(vi_ref, vf_ref, g_ref, out_ref):
+    _, B, W2 = g_ref.shape
+    M = out_ref.shape[-1]
+    j = pl.program_id(0)
+    G = g_ref[0]                                           # [B, W2]
+    # view window [v, v+M+1): left-roll by v (v+M+1 ≤ 2M+1 ≤ W2, so the
+    # zero pad never rotates into the window)
+    W = pltpu.roll(G, shift=W2 - vi_ref[j], axis=1)
+    fv = vf_ref[j]
+    out_ref[...] = ((1.0 - fv) * W[:, :M]
+                    + fv * W[:, 1:M + 1])[None]
+
+
+@functools.partial(jax.jit, static_argnames=("M", "interpret"))
+def rebin_view_lerp(G2: jnp.ndarray, view_i0: jnp.ndarray,
+                    view_f: jnp.ndarray, M: int,
+                    interpret: bool = False) -> jnp.ndarray:
+    """G2: [Nt, B, W2] det-lerped parallel-t rows with the view axis
+    DOUBLED in [:2M] (circular-shift headroom) and zero-padded to W2 (a
+    128-multiple ≥ 2M+1). view_i0 int32 [Nt] in [0, M); view_f f32 [Nt].
+    Returns [Nt, B, M]:
+      out[j, :, k] = (1−f_j)·G2[j, :, v_j+k] + f_j·G2[j, :, v_j+k+1]
+    — the circular view-shift lerp of recon/fbp_fast._rebin without its
+    10.9M-element arbitrary flat gathers."""
+    Nt, B, W2 = G2.shape
+    assert W2 % 128 == 0 and W2 >= 2 * M + 1
+    return pl.pallas_call(
+        _rebin_kernel,
+        grid=(Nt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, B, W2), lambda j: (j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, B, M), lambda j: (j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Nt, B, M), G2.dtype),
+        interpret=interpret or not _on_tpu(),
+    )(view_i0, view_f, G2)
+
+
+# ---------------------------------------------------------------------------
 # FP: deposit rows into per-view signals at per-row offsets
 # ---------------------------------------------------------------------------
 

@@ -134,6 +134,17 @@ def _rebin(pj: jnp.ndarray, p: _FastPlan) -> jnp.ndarray:
     fd = jnp.asarray(p.det_f)[None, :, None]
     G = (1 - fd) * r0 + fd * r1
     G = G * jnp.asarray(p.det_valid)[None, :, None]
+    if _REBIN_PALLAS and _use_pallas(p.n):
+        # circular view-shift lerp as one Pallas launch (one dynamic roll
+        # per t-bin) instead of two 10.9M-element arbitrary flat gathers
+        from ipdm_tpu.ops.pallas.shift import rebin_view_lerp
+        W2 = -(-(2 * M + 1) // 128) * 128
+        G2 = jnp.concatenate([G, G], axis=2)                 # [B, Nt, 2M]
+        G2 = jnp.pad(jnp.swapaxes(G2, 0, 1),                 # [Nt, B, 2M]
+                     ((0, 0), (0, 0), (0, W2 - 2 * M)))
+        P = rebin_view_lerp(G2, jnp.asarray(p.view_i0, jnp.int32),
+                            jnp.asarray(p.view_f), M)        # [Nt, B, M]
+        return jnp.transpose(P, (1, 2, 0))                   # [B, M, Nt]
     # per-column circular view shift (k + s_j) mod M: double the view axis
     # so the wrap becomes a plain contiguous slice (start+iota fast pattern)
     Gpad = jnp.concatenate([G, G], axis=2)                   # [B, Nt, 2M]
@@ -157,6 +168,10 @@ def _ramp_parallel(P: jnp.ndarray, p: _FastPlan) -> jnp.ndarray:
     F = jnp.fft.rfft(P, n=Lf, axis=-1)
     full = jnp.fft.irfft(F * K, n=Lf, axis=-1)
     return full[..., Nt - 1: 2 * Nt - 1]
+
+
+# trace-time kill switch for the Pallas rebin branch (A/B probes)
+_REBIN_PALLAS = True
 
 
 def _use_pallas(n: int) -> bool:

@@ -1,0 +1,62 @@
+"""A/B probe: Pallas rebin_view_lerp vs XLA flat-gather rebin inside the
+full fbp_convert_fast program (production Siemens geometry, B=3).
+Parity check + dependency-chained timing, suite run twice for drift.
+  timeout 3000 python scripts/probe_rebin.py
+"""
+
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+from ipdm_tpu.utils.comp_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+import ipdm_tpu.recon.fbp_fast as ff  # noqa: E402
+from ipdm_tpu.recon.fbp import SIEMENS_FBP  # noqa: E402
+
+print("device:", jax.devices()[0], flush=True)
+host = np.random.default_rng(0)
+pj0 = jnp.asarray(host.random((3, 2000, 912), np.float32) * 8.0)
+
+raw = ff.fbp_convert_fast.__wrapped__
+
+ff._REBIN_PALLAS = False
+f_off = jax.jit(lambda x: raw(x, SIEMENS_FBP, True))
+t0 = time.time()
+out_off = jax.block_until_ready(f_off(pj0))
+print(f"compile off: {time.time()-t0:.1f}s", flush=True)
+
+ff._REBIN_PALLAS = True
+f_on = jax.jit(lambda x: raw(x, SIEMENS_FBP, True))
+t0 = time.time()
+out_on = jax.block_until_ready(f_on(pj0))
+print(f"compile on:  {time.time()-t0:.1f}s", flush=True)
+
+a, b = np.asarray(out_off), np.asarray(out_on)
+print(f"parity: max|d|={np.abs(a-b).max():.3e} "
+      f"rel={np.abs(a-b).max()/max(np.abs(a).max(),1e-9):.3e}", flush=True)
+
+
+def timed(name, fn, reps=6):
+    x = pj0
+    out = fn(x)
+    t0 = time.time()
+    for _ in range(reps):
+        x = pj0 + out[0, 0, 0] * 1e-12     # chain: input <- prev output
+        out = fn(x)
+    s = float(out.sum())
+    print(f"  {name}: {(time.time()-t0)/reps*1e3:.0f} ms "
+          f"(n={reps}, chained) sum={s:.4g}", flush=True)
+
+
+for pas in (1, 2):
+    print(f"pass {pas}:", flush=True)
+    timed("fbp_convert_fast B=3 rebin=XLA   ", f_off)
+    timed("fbp_convert_fast B=3 rebin=Pallas", f_on)

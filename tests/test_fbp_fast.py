@@ -84,3 +84,44 @@ def test_bp_kernel_batched_matches_v1():
         want = np.asarray(bp_shift_accumulate(Q[:, b, :], s0, s1, fr, n,
                                               interpret=True))
         np.testing.assert_allclose(got[b], want, rtol=1e-6, atol=1e-6)
+
+
+def test_rebin_pallas_branch_matches_gather_branch(setup, monkeypatch):
+    """_rebin's Pallas wiring (pad/transpose around rebin_view_lerp) ==
+    the XLA flat-gather branch on the small geometry (interpret mode)."""
+    import ipdm_tpu.recon.fbp_fast as ff
+
+    g, _, proj = setup
+    p = ff._plan_for(g)
+    pj = jnp.asarray(np.stack([proj, proj * 0.5]))[:, :, ::-1]
+    want = np.asarray(ff._rebin(pj, p))
+    monkeypatch.setattr(ff, "_use_pallas", lambda n: True)
+    got = np.asarray(ff._rebin(pj, p))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_rebin_view_lerp_kernel_matches_gather():
+    """The Pallas circular view-shift lerp == the flat-gather formula
+    (interpret mode), including the wrap via the doubled view axis."""
+    from ipdm_tpu.ops.pallas.shift import rebin_view_lerp
+
+    rng = np.random.RandomState(0)
+    Nt, B, M = 13, 2, 96
+    W2 = -(-(2 * M + 1) // 128) * 128
+    G = rng.rand(B, Nt, M).astype(np.float32)
+    vi = rng.randint(0, M, Nt).astype(np.int32)
+    vf = rng.rand(Nt).astype(np.float32)
+
+    Gpad = np.concatenate([G, G], axis=2)                   # [B, Nt, 2M]
+    want = np.empty((B, Nt, M), np.float32)
+    for j in range(Nt):
+        for k in range(M):
+            a = Gpad[:, j, vi[j] + k]
+            b = Gpad[:, j, vi[j] + k + 1]
+            want[:, j, k] = (1 - vf[j]) * a + vf[j] * b
+
+    G2 = np.pad(np.swapaxes(Gpad, 0, 1), ((0, 0), (0, 0), (0, W2 - 2 * M)))
+    got = np.asarray(rebin_view_lerp(jnp.asarray(G2), jnp.asarray(vi),
+                                     jnp.asarray(vf), M, interpret=True))
+    np.testing.assert_allclose(np.swapaxes(got, 0, 1), want,
+                               rtol=1e-6, atol=1e-6)
