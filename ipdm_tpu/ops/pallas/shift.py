@@ -70,7 +70,8 @@ def pad_views(*arrays, axis: int = 0):
 #     window read is a fast 128-aligned dynamic slice T2R[rem, :, base:base+n].
 
 
-def _bp2_kernel(s0_ref, s1_ref, frac_ref, q_ref, out_ref, t2r):
+def _bp2_kernel(s0_ref, s1_ref, frac_ref, q_ref, out_ref, t2r, *,
+                row_unroll=1):
     blk = pl.program_id(0)
     # zero derived from a (finite) SMEM read: stays traced even under
     # jax.ensure_compile_time_eval (a literal jnp.zeros would evaluate
@@ -84,6 +85,7 @@ def _bp2_kernel(s0_ref, s1_ref, frac_ref, q_ref, out_ref, t2r):
 
     VB, B, L = q_ref.shape
     n = out_ref.shape[-1]
+    R = row_unroll if n % row_unroll == 0 else 1
 
     for vi in range(VB):  # static unroll over the view block
         sig = q_ref[vi]                                    # [B, L]
@@ -94,27 +96,31 @@ def _bp2_kernel(s0_ref, s1_ref, frac_ref, q_ref, out_ref, t2r):
 
         jax.lax.fori_loop(0, 128, roll_body, 0)
 
-        def row_body(y, _):
-            s0 = s0_ref[vi, y]
-            s1 = s1_ref[vi, y]
-            f = frac_ref[vi, y]
-            a0 = pl.multiple_of((s0 // 128) * 128, 128)
-            a1 = pl.multiple_of((s1 // 128) * 128, 128)
-            w0 = t2r[pl.ds(s0 - a0, 1), :, pl.ds(a0, n)]   # [1, B, n]
-            w1 = t2r[pl.ds(s1 - a1, 1), :, pl.ds(a1, n)]
-            cur = out_ref[:, pl.ds(y, 1), :]               # [B, 1, n]
-            acc = (1.0 - f) * w0[0] + f * w1[0]            # [B, n]
-            out_ref[:, pl.ds(y, 1), :] = cur + acc[:, None, :]
+        def row_body(yb, _):
+            for r in range(R):  # static unroll: amortize loop overhead
+                y = yb * R + r
+                s0 = s0_ref[vi, y]
+                s1 = s1_ref[vi, y]
+                f = frac_ref[vi, y]
+                a0 = pl.multiple_of((s0 // 128) * 128, 128)
+                a1 = pl.multiple_of((s1 // 128) * 128, 128)
+                w0 = t2r[pl.ds(s0 - a0, 1), :, pl.ds(a0, n)]  # [1, B, n]
+                w1 = t2r[pl.ds(s1 - a1, 1), :, pl.ds(a1, n)]
+                cur = out_ref[:, pl.ds(y, 1), :]              # [B, 1, n]
+                acc = (1.0 - f) * w0[0] + f * w1[0]           # [B, n]
+                out_ref[:, pl.ds(y, 1), :] = cur + acc[:, None, :]
             return 0
 
-        jax.lax.fori_loop(0, n, row_body, 0)
+        jax.lax.fori_loop(0, n // R, row_body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "vb", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n", "vb", "interpret",
+                                              "row_unroll"))
 def bp_shift_accumulate_batched(Q: jnp.ndarray, s0: jnp.ndarray,
                                 s1: jnp.ndarray, frac: jnp.ndarray, n: int,
                                 vb: int = 8,
-                                interpret: bool = False) -> jnp.ndarray:
+                                interpret: bool = False,
+                                row_unroll: int = 1) -> jnp.ndarray:
     """Q: [V, B, L] (L a 128-multiple, windows clamped to L−n−128 by the
     caller); s0, s1: [V, n] int32; frac: [V, n] (0 on padded views).
     Returns [B, n, n] = Σ_v two-tap row shifts, all batch items in one pass."""
@@ -128,7 +134,7 @@ def bp_shift_accumulate_batched(Q: jnp.ndarray, s0: jnp.ndarray,
         frac = jnp.pad(frac, ((0, rem), (0, 0)))
         V += rem
     return pl.pallas_call(
-        _bp2_kernel,
+        functools.partial(_bp2_kernel, row_unroll=row_unroll),
         grid=(V // vb,),
         in_specs=[
             pl.BlockSpec((vb, n), lambda v: (v, 0), memory_space=pltpu.SMEM),

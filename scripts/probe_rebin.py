@@ -60,3 +60,31 @@ for pas in (1, 2):
     print(f"pass {pas}:", flush=True)
     timed("fbp_convert_fast B=3 rebin=XLA   ", f_off)
     timed("fbp_convert_fast B=3 rebin=Pallas", f_on)
+
+# --- BP kernel row-unroll A/B (loop-overhead vs VMEM-op bound?) ----------
+from ipdm_tpu.ops.pallas.shift import bp_shift_accumulate_batched  # noqa
+
+n, V, B2, Lpad = 512, 1000, 3, 3072
+sb = jnp.asarray((host.random((V, n)) * (Lpad - n - 256)).astype(np.int32))
+fr = jnp.asarray(host.random((V, n)).astype(np.float32))
+Qb = jnp.asarray(host.random((V, B2, Lpad)).astype(np.float32))
+
+
+def bp_timed(ru, reps=4):
+    fn = lambda q: bp_shift_accumulate_batched(
+        q, sb, jnp.minimum(sb + 1, Lpad - n - 256), fr, n, row_unroll=ru)
+    out = fn(Qb)
+    t0 = time.time()
+    q = Qb
+    for _ in range(reps):
+        q = Qb + out[0, 0, 0] * 1e-12
+        out = fn(q)
+    _ = float(out[0, 0, 0])
+    print(f"  bp_batched V={V} B={B2} row_unroll={ru}: "
+          f"{(time.time()-t0)/reps*1e3:.0f} ms", flush=True)
+
+
+for pas in (1, 2):
+    print(f"bp pass {pas}:", flush=True)
+    for ru in (1, 4, 8):
+        bp_timed(ru)

@@ -84,6 +84,10 @@ def test_bp_kernel_batched_matches_v1():
         want = np.asarray(bp_shift_accumulate(Q[:, b, :], s0, s1, fr, n,
                                               interpret=True))
         np.testing.assert_allclose(got[b], want, rtol=1e-6, atol=1e-6)
+    got4 = np.asarray(bp_shift_accumulate_batched(Q, s0, s1, fr, n,
+                                                  interpret=True,
+                                                  row_unroll=4))
+    np.testing.assert_allclose(got4, got, rtol=1e-6, atol=1e-6)
 
 
 def test_rebin_pallas_branch_matches_gather_branch(setup, monkeypatch):
