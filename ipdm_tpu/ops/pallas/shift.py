@@ -414,9 +414,11 @@ def fp_shift_deposit_batched(rows: jnp.ndarray, s0: jnp.ndarray,
 
 
 def _oss_kernel(s0_ref, s1_ref, frac_ref, lam_ref, rf_ref, inv2_ref,
-                nrmi_ref, x0_ref, x_ref, T, planes, *, fp_roll=False):
+                nrmi_ref, x0_ref, x_ref, T, planes, *, fp_roll=False,
+                row_unroll=1):
     Vp, B, L = T.shape
     n = x_ref.shape[-1]
+    R = row_unroll if n % row_unroll == 0 else 1
     W = -(-n // 128) * 128  # deposit width (row zero-padded to 128-mult)
     lam = lam_ref[0, 0]
     zf = lam * 0.0  # traced zero (see _bp2_kernel)
@@ -466,25 +468,28 @@ def _oss_kernel(s0_ref, s1_ref, frac_ref, lam_ref, rf_ref, inv2_ref,
     def fp_view_roll(vi, _):
         T[pl.ds(vi, 1)] = jnp.broadcast_to(zf, (1, B, L)).astype(T.dtype)
 
-        def row_body(y, _):
-            row = read_row(y)
-            zpad = jnp.broadcast_to(zf, (B, 128)).astype(row.dtype)
-            padded = jnp.concatenate([row, zpad], axis=1)      # [B, W+128]
+        def row_body(yb, _):
+            for r in range(R):  # static unroll: amortize loop overhead
+                y = yb * R + r
+                row = read_row(y)
+                zpad = jnp.broadcast_to(zf, (B, 128)).astype(row.dtype)
+                padded = jnp.concatenate([row, zpad], axis=1)  # [B, W+128]
 
-            def tap(s_ref_, w):
-                start = s_ref_[0, vi, y]
-                base = pl.multiple_of((start // 128) * 128, 128)
-                rem = start - base
-                rolled = pltpu.roll(w * padded, shift=rem, axis=1)
-                cur = T[pl.ds(vi, 1), :, pl.ds(base, W + 128)]
-                T[pl.ds(vi, 1), :, pl.ds(base, W + 128)] = cur + rolled[None]
+                def tap(s_ref_, w):
+                    start = s_ref_[0, vi, y]
+                    base = pl.multiple_of((start // 128) * 128, 128)
+                    rem = start - base
+                    rolled = pltpu.roll(w * padded, shift=rem, axis=1)
+                    cur = T[pl.ds(vi, 1), :, pl.ds(base, W + 128)]
+                    T[pl.ds(vi, 1), :, pl.ds(base, W + 128)] = (
+                        cur + rolled[None])
 
-            f = frac_ref[0, vi, y]
-            tap(s0_ref, 1.0 - f)
-            tap(s1_ref, f)
+                f = frac_ref[0, vi, y]
+                tap(s0_ref, 1.0 - f)
+                tap(s1_ref, f)
             return 0
 
-        jax.lax.fori_loop(0, n, row_body, 0)
+        jax.lax.fori_loop(0, n // R, row_body, 0)
         return 0
 
     jax.lax.fori_loop(0, Vp, fp_view_roll if fp_roll else fp_view, 0)
@@ -503,21 +508,23 @@ def _oss_kernel(s0_ref, s1_ref, frac_ref, lam_ref, rf_ref, inv2_ref,
 
         jax.lax.fori_loop(0, 128, roll_body, 0)
 
-        def row_body(y, _):
-            s0 = s0_ref[0, vi, y]
-            s1 = s1_ref[0, vi, y]
-            f = frac_ref[0, vi, y]
-            a0 = pl.multiple_of((s0 // 128) * 128, 128)
-            a1 = pl.multiple_of((s1 // 128) * 128, 128)
-            w0 = planes[pl.ds(s0 - a0, 1), :, pl.ds(a0, n)]    # [1, B, n]
-            w1 = planes[pl.ds(s1 - a1, 1), :, pl.ds(a1, n)]
-            acc = (1.0 - f) * w0[0] + f * w1[0]                # [B, n]
-            g = lam * nrmi_ref[0, pl.ds(y, 1), :]              # [1, n]
-            cur = x_ref[:, pl.ds(y, 1), :]                     # [B, 1, n]
-            x_ref[:, pl.ds(y, 1), :] = cur + (g * acc)[:, None, :]
+        def row_body(yb, _):
+            for r in range(R):  # static unroll: amortize loop overhead
+                y = yb * R + r
+                s0 = s0_ref[0, vi, y]
+                s1 = s1_ref[0, vi, y]
+                f = frac_ref[0, vi, y]
+                a0 = pl.multiple_of((s0 // 128) * 128, 128)
+                a1 = pl.multiple_of((s1 // 128) * 128, 128)
+                w0 = planes[pl.ds(s0 - a0, 1), :, pl.ds(a0, n)]  # [1, B, n]
+                w1 = planes[pl.ds(s1 - a1, 1), :, pl.ds(a1, n)]
+                acc = (1.0 - f) * w0[0] + f * w1[0]              # [B, n]
+                g = lam * nrmi_ref[0, pl.ds(y, 1), :]            # [1, n]
+                cur = x_ref[:, pl.ds(y, 1), :]                   # [B, 1, n]
+                x_ref[:, pl.ds(y, 1), :] = cur + (g * acc)[:, None, :]
             return 0
 
-        jax.lax.fori_loop(0, n, row_body, 0)
+        jax.lax.fori_loop(0, n // R, row_body, 0)
         return 0
 
     jax.lax.fori_loop(0, Vp, bp_view, 0)
@@ -526,12 +533,14 @@ def _oss_kernel(s0_ref, s1_ref, frac_ref, lam_ref, rf_ref, inv2_ref,
     x_ref[...] = jnp.maximum(x_ref[...], zf)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "fp_roll"))
+@functools.partial(jax.jit, static_argnames=("interpret", "fp_roll",
+                                              "row_unroll"))
 def os_sart_sweep(x: jnp.ndarray, rf: jnp.ndarray, inv2: jnp.ndarray,
                   frac: jnp.ndarray, s0: jnp.ndarray, s1: jnp.ndarray,
                   nrmi: jnp.ndarray, lam: jnp.ndarray,
                   interpret: bool = False,
-                  fp_roll: bool = False) -> jnp.ndarray:
+                  fp_roll: bool = False,
+                  row_unroll: int = 1) -> jnp.ndarray:
     """One OS-SART sweep over a drive's subsets, fused in one kernel.
 
     x: [B, n, n] drive-frame image (rows are deposit rows). rf: [S, Vp, B, L]
@@ -546,7 +555,8 @@ def os_sart_sweep(x: jnp.ndarray, rf: jnp.ndarray, inv2: jnp.ndarray,
     assert L % 128 == 0
     lam2 = jnp.reshape(jnp.asarray(lam, x.dtype), (1, 1))
     return pl.pallas_call(
-        functools.partial(_oss_kernel, fp_roll=fp_roll),
+        functools.partial(_oss_kernel, fp_roll=fp_roll,
+                          row_unroll=row_unroll),
         grid=(S,),
         in_specs=[
             pl.BlockSpec((1, Vp, n), lambda s: (s, 0, 0),

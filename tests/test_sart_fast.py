@@ -128,6 +128,12 @@ def test_os_sart_sweep_semantics(fp_roll):
         jnp.asarray(frac), jnp.asarray(s0), jnp.asarray(s1),
         jnp.asarray(nrmi), jnp.float32(lam), interpret=True,
         fp_roll=fp_roll))
+    got_ru = np.asarray(os_sart_sweep(
+        jnp.asarray(x0), jnp.asarray(rf), jnp.asarray(inv2),
+        jnp.asarray(frac), jnp.asarray(s0), jnp.asarray(s1),
+        jnp.asarray(nrmi), jnp.float32(lam), interpret=True,
+        fp_roll=fp_roll, row_unroll=4))
+    np.testing.assert_allclose(got_ru, got, rtol=1e-6, atol=1e-6)
 
     x = x0.copy()
     for s in range(S):
