@@ -189,6 +189,11 @@ def _up2_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
 # the downsampled resolution). Set to 0 to disable.
 VPU_UNROLL_MAX = 64
 
+# route stride-1 planar convs through the single-pass Pallas kernel
+# (ops/pallas/planar_conv.py) instead of the nine-einsum lowering.
+# Off by default until measured on hardware; probes flip it.
+PLANAR_PALLAS_CONV = False
+
 # W-pack output packing for NHWC 3×3 convs with Co < 128 output channels
 # (img UNet 512²/256² levels: Co=64; proj UNet level-transition blocks:
 # Co=16): N=Co fills Co/128 of the MXU, so P = 128//Co adjacent output
@@ -262,6 +267,9 @@ class Conv3x3(nn.Module):
             assert not planar
             return _up2_conv(x, kernel, bias, self.dtype)
         s = self.strides
+        if planar and s == 1 and PLANAR_PALLAS_CONV:
+            from ipdm_tpu.ops.pallas.planar_conv import planar_conv3x3
+            return planar_conv3x3(x, kernel, bias)
         if planar:
             B, _, H, W = x.shape
             Ho = -(-H // s)

@@ -59,20 +59,32 @@ for name, (shape, kw) in cases.items():
     print(f"{name} parity: max|d|={np.abs(a-b).max():.3e} (bf16)",
           flush=True)
 
-# third proj variant: wpack on + VPU unroll raised to 256 so the 16ch
-# planar convs (cin*cout=256) run as one fused FMA pass instead of nine
-# M-stream einsums
+# extra proj variants:
+#  vpu256 — VPU unroll raised to 256: the 16ch planar convs
+#           (cin*cout=256) run as one fused FMA pass instead of nine
+#           M-stream einsums
+#  pconv  — every stride-1 planar conv through the single-pass Pallas
+#           kernel (ops/pallas/planar_conv.py)
 um.WPAIR_N64 = True
-um.VPU_UNROLL_MAX = 256
-_m256 = um.UNetModel(**cases["proj"][1])
-_p256 = jax.jit(_m256.init)(rng, xs["proj"], tvec)
-fns["proj", "vpu256"] = jax.jit(
-    lambda h, _m=_m256, _p=_p256: _m.apply(_p, h, tvec) + h)
-t0 = time.time()
-y = jax.block_until_ready(fns["proj", "vpu256"](xs["proj"]))
-print(f"compile proj vpu256: {time.time()-t0:.1f}s "
-      f"sum={float(jnp.sum(y)):.4g}", flush=True)
-um.VPU_UNROLL_MAX = 64
+for tag, setup in (("vpu256", lambda: setattr(um, "VPU_UNROLL_MAX", 256)),
+                   ("pconv", lambda: setattr(um, "PLANAR_PALLAS_CONV",
+                                             True))):
+    old = (um.VPU_UNROLL_MAX, um.PLANAR_PALLAS_CONV)
+    setup()
+    _mv = um.UNetModel(**cases["proj"][1])
+    _pv = jax.jit(_mv.init)(rng, xs["proj"], tvec)
+    fns["proj", tag] = jax.jit(
+        lambda h, _m=_mv, _p=_pv: _m.apply(_p, h, tvec) + h)
+    t0 = time.time()
+    try:
+        y = jax.block_until_ready(fns["proj", tag](xs["proj"]))
+        print(f"compile proj {tag}: {time.time()-t0:.1f}s "
+              f"sum={float(jnp.sum(y)):.4g}", flush=True)
+    except Exception as e:
+        print(f"proj {tag} FAILED: {type(e).__name__}: {str(e)[:300]}",
+              flush=True)
+        del fns["proj", tag]
+    um.VPU_UNROLL_MAX, um.PLANAR_PALLAS_CONV = old
 
 
 def timed(name, fn, x0, reps=12):
@@ -90,4 +102,6 @@ for pas in (1, 2):
     for name in cases:
         timed(f"{name} eval wpack=off", fns[name, False], xs[name])
         timed(f"{name} eval wpack=on ", fns[name, True], xs[name])
-    timed("proj eval wpack+vpu256", fns["proj", "vpu256"], xs["proj"])
+    for tag in ("vpu256", "pconv"):
+        if ("proj", tag) in fns:
+            timed(f"proj eval wpack+{tag}", fns["proj", tag], xs["proj"])

@@ -344,3 +344,29 @@ def test_wpack_conv_matches_plain_conv():
                                        rtol=1e-5, atol=1e-4)
     finally:
         um.WPAIR_N64 = old
+
+
+def test_planar_conv_kernel_matches_einsum_lowering():
+    """ops.pallas.planar_conv.planar_conv3x3 (single-pass kernel) == the
+    nine-einsum planar lowering of Conv3x3 (interpret mode)."""
+    import ipdm_tpu.models.unet as um
+    from ipdm_tpu.models.unet import Conv3x3
+    from ipdm_tpu.ops.pallas.planar_conv import planar_conv3x3
+
+    rng = jax.random.PRNGKey(2)
+    old = um.VPU_UNROLL_MAX
+    try:
+        um.VPU_UNROLL_MAX = 0   # force the einsum reference path
+        for B, C, O, H, W in [(2, 16, 16, 20, 30), (1, 4, 8, 9, 130),
+                              (1, 8, 16, 16, 456)]:
+            x = jnp.asarray(np.random.default_rng(3).standard_normal(
+                (B, C, H, W)), jnp.float32)
+            m = Conv3x3(O)
+            p = m.init(rng, x, planar=True)
+            want = np.asarray(m.apply(p, x, planar=True))
+            got = np.asarray(planar_conv3x3(
+                x, p["params"]["kernel"], p["params"]["bias"],
+                interpret=True))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    finally:
+        um.VPU_UNROLL_MAX = old
