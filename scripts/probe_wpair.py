@@ -97,11 +97,23 @@ def timed(name, fn, x0, reps=12):
           f"(n={reps}, chained) sum={s:.4g}", flush=True)
 
 
+# B=2 variants: if a 2-slice batch costs <2x a 1-slice eval, batching
+# lifts the slices/sec headline directly
+for name in cases:
+    x2 = jnp.concatenate([xs[name], xs[name] * 0.7], axis=0)
+    xs[name + "B2"] = x2
+    t0 = time.time()
+    y = jax.block_until_ready(fns[name, True](x2))
+    print(f"compile {name} B2: {time.time()-t0:.1f}s "
+          f"sum={float(jnp.sum(y)):.4g}", flush=True)
+
 for pas in (1, 2):
     print(f"pass {pas}:", flush=True)
     for name in cases:
         timed(f"{name} eval wpack=off", fns[name, False], xs[name])
         timed(f"{name} eval wpack=on ", fns[name, True], xs[name])
+        timed(f"{name} eval wpack B=2 ", fns[name, True],
+              xs[name + "B2"])
     for tag in ("vpu256", "pconv"):
         if ("proj", tag) in fns:
             timed(f"proj eval wpack+{tag}", fns["proj", tag], xs["proj"])
