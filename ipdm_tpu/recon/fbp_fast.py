@@ -172,6 +172,8 @@ def _ramp_parallel(P: jnp.ndarray, p: _FastPlan) -> jnp.ndarray:
 
 # trace-time kill switch for the Pallas rebin branch (A/B probes)
 _REBIN_PALLAS = True
+# static row-unroll factor for the BP kernel's row loop (A/B probes)
+_BP_ROW_UNROLL = 1
 
 
 def _use_pallas(n: int) -> bool:
@@ -267,7 +269,8 @@ def _bp_group(Pf, p: _FastPlan, view_idx: np.ndarray, xdrive: bool):
         outs = []
         for b0 in range(0, B, Bc):
             outs.append(bp_shift_accumulate_batched(
-                T2p[:, b0:b0 + Bc, :], s0, s1, fr, n))
+                T2p[:, b0:b0 + Bc, :], s0, s1, fr, n,
+                row_unroll=_BP_ROW_UNROLL))
         acc = jnp.concatenate(outs, axis=0)        # [B, n, n]
     else:
         iota = jnp.arange(n, dtype=jnp.int32)[None, :]

@@ -68,6 +68,10 @@ from ipdm_tpu.recon.fbp import FBPGeometry
 from ipdm_tpu.recon.fbp_fast import _FastPlan, _plan_for, _rebin
 from ipdm_tpu.recon.sart import nsl0_tv_grad
 
+# static row-unroll factor for the fused sweep kernel's row loops
+# (trace-time, A/B probes)
+_OSS_ROW_UNROLL = 1
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -508,12 +512,14 @@ def _sart_iterate_fused(sp: _SartFastPlan, par: jnp.ndarray, norms,
         if sp.gx_all.V:
             d = per_drive["x"]
             x = os_sart_sweep(x, rf["x"], d["inv2"], d["frac"], d["s0"],
-                              d["s1"], d["nrmi"], lam, fp_roll=fp_roll)
+                              d["s1"], d["nrmi"], lam, fp_roll=fp_roll,
+                              row_unroll=_OSS_ROW_UNROLL)
         if sp.gy_all.V:
             d = per_drive["y"]
             xt = jnp.swapaxes(x, 1, 2)
             xt = os_sart_sweep(xt, rf["y"], d["inv2"], d["frac"], d["s0"],
-                               d["s1"], d["nrmi"], lam, fp_roll=fp_roll)
+                               d["s1"], d["nrmi"], lam, fp_roll=fp_roll,
+                               row_unroll=_OSS_ROW_UNROLL)
             x = jnp.swapaxes(xt, 1, 2)
         dp = jnp.sqrt(jnp.sum((x - x_back) ** 2, axis=(1, 2)))  # [B]
         x_res = x
