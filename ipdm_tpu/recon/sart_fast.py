@@ -71,6 +71,8 @@ from ipdm_tpu.recon.sart import nsl0_tv_grad
 # static row-unroll factor for the fused sweep kernel's row loops
 # (trace-time, A/B probes)
 _OSS_ROW_UNROLL = 1
+# Pallas inverse-rebin gate: None = auto (on TPU), True/False = forced
+_INV_REBIN_PALLAS = None
 
 
 def _round_up(x: int, m: int) -> int:
@@ -678,6 +680,21 @@ def _inverse_rebin(par: jnp.ndarray, p: _FastPlan, n_det: int,
     r1 = det_major[:, jnp.asarray(tb0 + 1), :]
     f = jnp.asarray(tbf)[None, :, None]
     G = ((1 - f) * r0 + f * r1) * jnp.asarray(tvalid)[None, :, None]
+    from ipdm_tpu.ops.pallas.shift import _on_tpu, rebin_view_lerp
+    use_pallas = (_INV_REBIN_PALLAS if _INV_REBIN_PALLAS is not None
+                  else _on_tpu())
+    if use_pallas:
+        # circular view-shift lerp as one Pallas launch per det column
+        # (same kernel as the forward rebin; the flat-gather form pays two
+        # 1.8M-element arbitrary gathers)
+        W2 = -(-(2 * M + 1) // 128) * 128
+        G2 = jnp.concatenate([G, G], axis=2)               # [B, n_det, 2M]
+        G2 = jnp.pad(jnp.swapaxes(G2, 0, 1),               # [n_det, B, 2M]
+                     ((0, 0), (0, 0), (0, W2 - 2 * M)))
+        P = rebin_view_lerp(G2, jnp.asarray(v0, jnp.int32),
+                            jnp.asarray(vf), M,
+                            interpret=not _on_tpu())       # [n_det, B, M]
+        return jnp.transpose(P, (1, 2, 0))                 # [B, M, n_det]
     Gpad = jnp.concatenate([G, G], axis=2)     # circular views
     flat = Gpad.reshape(B, -1)
     base = (jnp.arange(n_det, dtype=jnp.int32) * (2 * M)

@@ -265,3 +265,21 @@ def test_sart_convert_under_outer_jit(setup):
     # eager call agrees with the jitted call
     y3 = np.asarray(sart_fast_convert(pj, g, nstart=2, nsubsets=6))
     np.testing.assert_allclose(y1, y3, rtol=1e-5, atol=1e-6)
+
+
+def test_inverse_rebin_pallas_matches_gather(monkeypatch):
+    """_inverse_rebin's Pallas branch (rebin_view_lerp wiring) == the XLA
+    flat-gather branch (interpret mode)."""
+    import ipdm_tpu.recon.sart_fast as sf
+    from ipdm_tpu.recon.fbp import FBPGeometry
+    from ipdm_tpu.recon.fbp_fast import _plan_for
+
+    g = FBPGeometry(n_det=32, n_views=24, grid_n=16, grid_l=21.0)
+    p = _plan_for(g)
+    rng = np.random.RandomState(5)
+    par = jnp.asarray(rng.rand(2, 24, p.Nt).astype(np.float32))
+    monkeypatch.setattr(sf, "_INV_REBIN_PALLAS", False)
+    want = np.asarray(sf._inverse_rebin(par, p, 32, -0.016, 0.001))
+    monkeypatch.setattr(sf, "_INV_REBIN_PALLAS", True)
+    got = np.asarray(sf._inverse_rebin(par, p, 32, -0.016, 0.001))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
