@@ -296,20 +296,20 @@ def fbp_convert_fast(pj: jnp.ndarray, g: FBPGeometry = SIEMENS_FBP,
     if flip:
         pj = pj[:, :, ::-1]
     P = _rebin(pj, p)
-    Pf = _ramp_parallel(P, p)
-    # half dφ: 360° of parallel views covers every ray twice
-    Pf = Pf * jnp.float32(p.dphi * 0.5)
     M = g.M
     if M % 2 == 0:
         # Half-turn fold: parallel view φ+π samples the same rays as view φ
-        # with t reversed (t grid is symmetric, R-L ramp is even), so its
-        # backprojection is exactly view φ's with the filtered row flipped.
-        # Summing the halves first halves the BP work at identical output
+        # with t reversed (t grid is symmetric and the R-L ramp is even, so
+        # the fold commutes with the filter). Folding BEFORE the ramp
+        # halves the FFT work as well as the BP work, at identical output
         # (up to fp addition order).
-        Pf = Pf[:, :M // 2] + Pf[:, M // 2:, ::-1]
+        P = P[:, :M // 2] + P[:, M // 2:, ::-1]
         xdm = p.group_xdrive[:M // 2]
     else:
         xdm = p.group_xdrive
+    Pf = _ramp_parallel(P, p)
+    # half dφ: 360° of parallel views covers every ray twice
+    Pf = Pf * jnp.float32(p.dphi * 0.5)
     xd = np.nonzero(xdm)[0]
     yd = np.nonzero(~xdm)[0]
     img = _bp_group(Pf, p, xd, True) + _bp_group(Pf, p, yd, False)
