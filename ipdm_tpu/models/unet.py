@@ -89,19 +89,25 @@ class GN(nn.Module):
         g = group_count(C)
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        # E[x²]−E[x]² so both reductions fuse into ONE pass over the input
+        # (the (x−mean)² form forces a second read after the mean; measured
+        # bandwidth matters at the full-res sinogram levels). f32 stats keep
+        # the cancellation benign for O(1-10) activations.
         xf = x.astype(jnp.float32)
         if planar:
             B, _, H, W = x.shape
             xg = xf.reshape(B, g, C // g, H, W)
             mean = xg.mean(axis=(2, 3, 4), keepdims=True)
-            var = ((xg - mean) ** 2).mean(axis=(2, 3, 4), keepdims=True)
+            m2 = (xg * xg).mean(axis=(2, 3, 4), keepdims=True)
+            var = jnp.maximum(m2 - mean * mean, 0.0)
             y = ((xg - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(xf.shape)
             y = y * scale[None, :, None, None] + bias[None, :, None, None]
         else:
             B, H, W, _ = x.shape
             xg = xf.reshape(B, H, W, g, C // g)
             mean = xg.mean(axis=(1, 2, 4), keepdims=True)
-            var = ((xg - mean) ** 2).mean(axis=(1, 2, 4), keepdims=True)
+            m2 = (xg * xg).mean(axis=(1, 2, 4), keepdims=True)
+            var = jnp.maximum(m2 - mean * mean, 0.0)
             y = ((xg - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(xf.shape)
             y = y * scale + bias
         return y.astype(x.dtype)
