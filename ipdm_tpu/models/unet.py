@@ -207,7 +207,18 @@ PLANAR_PALLAS_CONV = False
 # a 3×(P+2) kernel (output phase i uses taps i..i+2; the kernel is
 # 1−3/(P+2) zeros → (P+2)/3× MACs for a P× MXU-fill win; net 3P/(P+2)).
 # Exact reparametrization; XLA keeps the im2col implicit.
-WPAIR_N64 = True
+# Tri-state: None = auto (TPU only — XLA:CPU's conv-grad compile chokes on
+# the packed form and the MXU argument is TPU-specific); True/False forced.
+WPAIR_N64 = None
+
+
+def _wpack_enabled() -> bool:
+    if WPAIR_N64 is not None:
+        return WPAIR_N64
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
 
 
 def _wpack_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
@@ -317,7 +328,7 @@ class Conv3x3(nn.Module):
             # bound, not fill-bound, and kernel inflation stops paying
             P = (min(8, 128 // self.features)
                  if 16 <= self.features <= 64 else 1)
-            if (WPAIR_N64 and s == 1 and P > 1
+            if (_wpack_enabled() and s == 1 and P > 1
                     and x.shape[2] % P == 0):
                 return _wpack_conv(x, kernel, bias, P)
             y = jax.lax.conv_general_dilated(
@@ -327,7 +338,7 @@ class Conv3x3(nn.Module):
         B, H, W, _ = x.shape
         P = (min(8, 128 // self.features)
              if 16 <= self.features <= 64 else 1)
-        if WPAIR_N64 and s == 1 and P > 1 and W % P == 0:
+        if _wpack_enabled() and s == 1 and P > 1 and W % P == 0:
             return _wpack_conv(x, kernel, bias, P, im2col=True,
                                dtype=self.dtype)
         Ho = -(-H // s)
