@@ -185,7 +185,7 @@ def test_bf16_guided_sampling_close_to_f32():
     from ipdm_tpu.models.unet import UNetModel
     kw = dict(in_channels=1, model_channels=8, out_channels=1,
               num_res_blocks=1, attention_resolutions=(4,),
-              channel_mult=(1, 1, 2))
+              channel_mult=(1, 2))
     m32 = UNetModel(**kw)
     m16 = UNetModel(dtype=jnp.bfloat16, **kw)
     x = jnp.ones((1, 16, 16, 1)) * 0.3
