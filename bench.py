@@ -62,6 +62,12 @@ def main():
     art_mode = True
     if "--convertor" in sys.argv:
         art_mode = sys.argv[sys.argv.index("--convertor") + 1] != "FBP"
+    # --batch N: process N independent slices per program (throughput
+    # mode; the per-slice pipeline/semantics are unchanged — batching is
+    # across slices, exactly like serving N streams)
+    nbatch = 1
+    if "--batch" in sys.argv:
+        nbatch = int(sys.argv[sys.argv.index("--batch") + 1])
 
     from ipdm_tpu.utils.comp_cache import enable_persistent_cache
     enable_persistent_cache()
@@ -119,8 +125,10 @@ def main():
 
     # --- synthetic inputs -------------------------------------------------
     host = np.random.default_rng(0)
-    ld_proj = jnp.asarray(host.random((1, 2000, 912, 1), np.float32) * 4.0)
-    ld_img = jnp.asarray(host.random((1, 512, 512, 1), np.float32) * 0.3)
+    ld_proj = jnp.asarray(
+        host.random((nbatch, 2000, 912, 1), np.float32) * 4.0)
+    ld_img = jnp.asarray(
+        host.random((nbatch, 512, 512, 1), np.float32) * 0.3)
 
     if art_mode:
         from ipdm_tpu.recon.sart_fast import sart_fast_convert
@@ -141,7 +149,7 @@ def main():
     def tail(rng, proj_iters_in, ld_img):
         stacked = jnp.concatenate([p[..., 0] for p in proj_iters_in], axis=0)
         imgs = convert(stacked)
-        x = imgs[-1:][..., None]
+        x = imgs[-nbatch:][..., None]   # last kept iteration of each slice
         if not art_mode:
             x = tensor_sharpen(x, 70)  # fbp_sharpen gates on convertor==FBP
         # image stage: 3 × 15 reverse steps, constant λ (preset: 0.45)
@@ -210,9 +218,10 @@ def main():
     for i in range(n):
         outs.append(run_slice(2 + i))
     _ = float(jnp.stack(outs).sum())   # full drain
-    dt = (time.time() - t0) / n
+    dt = (time.time() - t0) / (n * nbatch)
     slices_per_sec = 1.0 / dt
-    log(f"{dt:.2f} s/slice, {slices_per_sec:.3f} slices/sec/chip (n={n})")
+    log(f"{dt:.2f} s/slice, {slices_per_sec:.3f} slices/sec/chip "
+        f"(n={n} programs x batch {nbatch})")
 
     if "--per-slice" in sys.argv:
         # variance diagnostic: fence each slice (adds ~0.15 s relay
