@@ -183,15 +183,10 @@ def _use_pallas(n: int) -> bool:
         return False
 
 
-def _bp_group(Pf, p: _FastPlan, view_idx: np.ndarray, xdrive: bool):
-    """Backproject one group of views. Pf: [B, M, Nt]. Returns [B, n, n]
-    (already in standard row/col orientation).
-
-    On TPU the per-row shifted-window reads run in the Pallas kernel
-    (ops.pallas.shift.bp_shift_accumulate); XLA would lower them as
-    arbitrary gathers on the scalar path (measured 10 ns/element — slower
-    than the direct fan BP it was meant to replace)."""
-    B = Pf.shape[0]
+def _prep_group(Pf, p: _FastPlan, view_idx: np.ndarray, xdrive: bool):
+    """Per-view fine resample + per-row tap offsets for one BP view group.
+    Pf: [B, M, Nt]. Returns (T2 [V, B, LqK], start0 [V, n], start1 [V, n],
+    o_frac [V, n])."""
     n = p.n
     dt = p.dt
     T = p.T
@@ -251,8 +246,23 @@ def _bp_group(Pf, p: _FastPlan, view_idx: np.ndarray, xdrive: bool):
         start1 = (o1 % Kq) * L2 + o1 // Kq
         return T2, start0, start1, o_frac
 
-    T2, start0, start1, o_frac = jax.vmap(prep_one, in_axes=(1, 0, 0))(
+    return jax.vmap(prep_one, in_axes=(1, 0, 0))(
         P_g, drive_trig, other_trig)     # [V, B, LqK], [V, n], [V, n], [V, n]
+
+
+def _bp_group(Pf, p: _FastPlan, view_idx: np.ndarray, xdrive: bool):
+    """Backproject one group of views. Pf: [B, M, Nt]. Returns [B, n, n]
+    (already in standard row/col orientation).
+
+    On TPU the per-row shifted-window reads run in the Pallas kernel
+    (ops.pallas.shift.bp_shift_accumulate); XLA would lower them as
+    arbitrary gathers on the scalar path (measured 10 ns/element — slower
+    than the direct fan BP it was meant to replace)."""
+    B = Pf.shape[0]
+    n = p.n
+    Kq = p.Kq
+    LqK = p.Lq * Kq
+    T2, start0, start1, o_frac = _prep_group(Pf, p, view_idx, xdrive)
 
     if _use_pallas(n):
         from ipdm_tpu.ops.pallas.shift import (bp_shift_accumulate_batched,

@@ -61,6 +61,26 @@ for pas in (1, 2):
     timed("fbp_convert_fast B=3 rebin=XLA   ", f_off)
     timed("fbp_convert_fast B=3 rebin=Pallas", f_on)
 
+# --- isolate the BP prep (fine resample + offsets) cost ------------------
+from ipdm_tpu.recon.fbp_fast import _plan_for, _prep_group  # noqa: E402
+
+p = ff._plan_for(SIEMENS_FBP)
+Mf = SIEMENS_FBP.M // 2
+xdm = p.group_xdrive[:Mf]
+xd, yd = np.nonzero(xdm)[0], np.nonzero(~xdm)[0]
+Pf0 = jnp.asarray(host.random((3, Mf, p.Nt), np.float32))
+prep = jax.jit(lambda Pf: jax.tree_util.tree_leaves(
+    (_prep_group(Pf, p, xd, True), _prep_group(Pf, p, yd, False)))[0])
+out = prep(Pf0)
+t0 = time.time()
+x = Pf0
+for _ in range(6):
+    x = Pf0 + out[0, 0, 0] * 1e-12
+    out = prep(x)
+_ = float(out[0, 0, 0])
+print(f"  bp prep (resample+offsets, both drives): "
+      f"{(time.time()-t0)/6*1e3:.0f} ms", flush=True)
+
 # --- BP kernel row-unroll A/B (loop-overhead vs VMEM-op bound?) ----------
 from ipdm_tpu.ops.pallas.shift import bp_shift_accumulate_batched  # noqa
 
