@@ -170,8 +170,10 @@ def _ramp_parallel(P: jnp.ndarray, p: _FastPlan) -> jnp.ndarray:
     return full[..., Nt - 1: 2 * Nt - 1]
 
 
-# trace-time kill switch for the Pallas rebin branch (A/B probes)
-_REBIN_PALLAS = True
+# trace-time switch for the Pallas rebin branch. Default OFF until the
+# kernel has been validated on real TPU hardware (the relay was down when
+# it landed); probes flip it and the default follows the measurement.
+_REBIN_PALLAS = False
 # static row-unroll factor for the BP kernel's row loop (A/B probes)
 _BP_ROW_UNROLL = 1
 

@@ -71,8 +71,10 @@ from ipdm_tpu.recon.sart import nsl0_tv_grad
 # static row-unroll factor for the fused sweep kernel's row loops
 # (trace-time, A/B probes)
 _OSS_ROW_UNROLL = 1
-# Pallas inverse-rebin gate: None = auto (on TPU), True/False = forced
-_INV_REBIN_PALLAS = None
+# Pallas inverse-rebin gate: None = auto (on TPU), True/False = forced.
+# Default OFF until the kernel is validated on real TPU hardware; probes
+# flip it and the default follows the measurement.
+_INV_REBIN_PALLAS = False
 
 
 def _round_up(x: int, m: int) -> int:
