@@ -219,3 +219,27 @@ def make_view_sharded_fp(mesh: Mesh, geom: FanBeamGeometry,
         return fn(x[None], jnp.asarray(betas))[0]
 
     return fp
+
+
+def make_spatial_sharded_apply(model, mesh: Mesh, axis: str = "data"):
+    """Spatially-partitioned UNet evaluation: the H (row) axis of the
+    input shards over `axis`, parameters replicate, and XLA's SPMD
+    partitioner inserts the conv halo exchanges, the GroupNorm psums and
+    the attention all-gathers over ICI automatically.
+
+    This is the latency-scaling complement to batch parallelism: one
+    512²/2000×912 slice's UNet eval spreads across the mesh axis, so the
+    guided reverse process (inherently sequential over timesteps) speeds
+    up per-slice instead of only per-batch. The reference has no
+    counterpart (single-GPU; SURVEY.md §5.8).
+
+    Returns fn(params, x, t) -> NHWC output sharded like the input."""
+    rep = replicated(mesh)
+    in_x = NamedSharding(mesh, P(None, axis, None, None))
+
+    def _apply(params, x, t):
+        return model.apply(params, x, t)
+
+    return jax.jit(_apply,
+                   in_shardings=(rep, in_x, rep),
+                   out_shardings=in_x)

@@ -65,3 +65,25 @@ def test_view_sharded_fbp_matches_unsharded():
     out = np.asarray(fbp(pj))
     ref = np.asarray(fbp_convert(pj, g, view_block=5))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_spatial_sharded_apply_matches_single_device():
+    """H-axis spatially-partitioned UNet eval == the unsharded eval
+    (XLA inserts conv halos / GN psums / attention all-gathers)."""
+    import jax
+    import jax.numpy as jnp
+    from ipdm_tpu.models.unet import UNetModel
+    from ipdm_tpu.parallel import make_mesh, make_spatial_sharded_apply
+
+    mesh = make_mesh([8, 1], ("data", "view"))
+    m = UNetModel(in_channels=1, model_channels=8, out_channels=1,
+                  num_res_blocks=1, attention_resolutions=(2,),
+                  channel_mult=(1, 2), num_heads=2)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (1, 48, 16, 1)), jnp.float32)
+    t = jnp.zeros((1,), jnp.int32)
+    p = m.init(jax.random.PRNGKey(0), x, t)
+    want = np.asarray(m.apply(p, x, t))
+    fn = make_spatial_sharded_apply(m, mesh)
+    got = np.asarray(fn(p, x, t))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
