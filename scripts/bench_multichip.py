@@ -83,6 +83,22 @@ def main(max_devices: int = 8):
         results.append({"bench": "view_sharded_fbp", "n_devices": n,
                         "n_views": g.M, "ms_per_call": round(dt * 1e3, 2)})
 
+        # spatially-partitioned UNet eval (per-slice latency axis)
+        from ipdm_tpu.parallel import make_spatial_sharded_apply
+        smesh = make_mesh([n, 1], ("data", "view"), devices=devices[:n])
+        sx = jnp.ones((1, 64, 64, 1), jnp.float32)
+        st = jnp.zeros((1,), jnp.int32)
+        sp_ = model.init(jax.random.PRNGKey(0), sx, st)
+        sfn = make_spatial_sharded_apply(model, smesh)
+        float(sfn(sp_, sx, st).sum())  # compile
+        t0 = time.time()
+        for _ in range(4):
+            out = sfn(sp_, sx, st)
+        float(out.sum())
+        dt = (time.time() - t0) / 4
+        results.append({"bench": "spatial_sharded_eval", "n_devices": n,
+                        "ms_per_eval": round(dt * 1e3, 2)})
+
     platform = jax.devices()[0].platform
     for r in results:
         r["platform"] = platform
