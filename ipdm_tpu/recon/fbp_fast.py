@@ -176,6 +176,9 @@ def _ramp_parallel(P: jnp.ndarray, p: _FastPlan) -> jnp.ndarray:
 _REBIN_PALLAS = False
 # static row-unroll factor for the BP kernel's row loop (A/B probes)
 _BP_ROW_UNROLL = 1
+# Pallas banded-matmul resample for the BP prep stage (A/B probes; default
+# off until validated on hardware)
+_PREP_PALLAS = False
 
 
 def _use_pallas(n: int) -> bool:
@@ -212,9 +215,11 @@ def _prep_group(Pf, p: _FastPlan, view_idx: np.ndarray, xdrive: bool):
     LqK = Lq * Kq      # fine resample length (Q'-index m, step a/Kq)
     L2 = Lq            # rows of the (Kq, Lq) transposed fine grid
 
-    def prep_one(P_v, a_trig, o_trig):
-        """Per-view resample + per-row tap offsets.
-        Returns (T2 [B, LqK], start0 [n], start1 [n], o_frac [n])."""
+    Nt = p.Nt
+    B = P_g.shape[0]
+
+    def coords_one(a_trig, o_trig):
+        """Per-view resample coordinates + per-row tap offsets."""
         # pos(o, d) = (drive[d]·a_trig + other[o]·o_trig + T)/dt = a·d + b_o
         a = (drive_coord[1] - drive_coord[0]) * a_trig / dt
         b = (other_coord * o_trig + drive_coord[0] * a_trig + T) / dt
@@ -228,28 +233,47 @@ def _prep_group(Pf, p: _FastPlan, view_idx: np.ndarray, xdrive: bool):
         mq = jnp.arange(LqK, dtype=jnp.float32)
         qpos = sgn * (step * mq + beta0)           # t-index sampled by Q'
         qi = jnp.floor(qpos)
-        qf = (qpos - qi).astype(P_v.dtype)
-        qi0 = jnp.clip(qi.astype(jnp.int32), 0, p.Nt - 1)
-        qi1 = jnp.clip(qi.astype(jnp.int32) + 1, 0, p.Nt - 1)
-        qvalid = ((qpos >= 0.0) & (qpos <= p.Nt - 1)).astype(P_v.dtype)
-        Qp = ((1 - qf) * P_v[:, qi0] + qf * P_v[:, qi1]) * qvalid  # [B, LqK]
-        # flat layout T2[k·L2 + r] = Q'[r·Kq + k] so that the pixel tap at
-        # Q'-index Kq·j + o_i is the contiguous window start_i + j
-        T2 = jnp.swapaxes(Qp.reshape(-1, L2, Kq), 1, 2).reshape(-1, LqK)
+        qf = (qpos - qi).astype(jnp.float32)
+        qi0 = jnp.clip(qi.astype(jnp.int32), 0, Nt - 1)
+        qvalid = ((qpos >= 0.0) & (qpos <= Nt - 1)).astype(jnp.float32)
         # row offsets in fine units: m*(o, d) = Kq·d + o'_o
         o_real = (b_adj - beta0) / step
         o_int = jnp.floor(o_real).astype(jnp.int32)
-        o_frac = (o_real - jnp.floor(o_real)).astype(P_v.dtype)
+        o_frac = (o_real - jnp.floor(o_real)).astype(jnp.float32)
         o_int = jnp.clip(o_int, 0, LqK - n * Kq - 2)
         k0 = o_int % Kq
         r0 = o_int // Kq
         o1 = o_int + 1
         start0 = k0 * L2 + r0                      # per-row flat starts
         start1 = (o1 % Kq) * L2 + o1 // Kq
-        return T2, start0, start1, o_frac
+        return qi0, qf, qvalid, start0, start1, o_frac
 
-    return jax.vmap(prep_one, in_axes=(1, 0, 0))(
-        P_g, drive_trig, other_trig)     # [V, B, LqK], [V, n], [V, n], [V, n]
+    qi0, qf, qvalid, start0, start1, o_frac = jax.vmap(coords_one)(
+        drive_trig, other_trig)
+    if _PREP_PALLAS:
+        # banded one-hot-matmul resample kernel (monotone-affine qi0 with
+        # step ≤ 1 per output — guaranteed by the Kq choice)
+        from ipdm_tpu.ops.pallas.shift import affine_resample_lerp
+        Lp = -(-LqK // 128) * 128
+        qi0p = jnp.pad(qi0, ((0, 0), (0, Lp - LqK)), mode="edge")
+        qfp = jnp.pad(qf, ((0, 0), (0, Lp - LqK)))
+        Ntp = -(-(Nt + 384) // 128) * 128
+        Pv = jnp.pad(jnp.swapaxes(P_g, 0, 1),      # [V, B, Ntp]
+                     ((0, 0), (0, 0), (0, Ntp - Nt)))
+        Qp = affine_resample_lerp(Pv, qi0p, qfp)[..., :LqK]
+        Qp = Qp * qvalid[:, None, :]               # [V, B, LqK]
+    else:
+        qi1 = jnp.minimum(qi0 + 1, Nt - 1)
+
+        def gather_one(P_v, i0, i1, f, val):
+            return ((1 - f) * P_v[:, i0] + f * P_v[:, i1]) * val
+
+        Qp = jax.vmap(gather_one, in_axes=(1, 0, 0, 0, 0))(
+            P_g, qi0, qi1, qf, qvalid)             # [V, B, LqK]
+    # flat layout T2[k·L2 + r] = Q'[r·Kq + k] so that the pixel tap at
+    # Q'-index Kq·j + o_i is the contiguous window start_i + j
+    T2 = jnp.swapaxes(Qp.reshape(-1, B, L2, Kq), 2, 3).reshape(-1, B, LqK)
+    return T2, start0, start1, o_frac
 
 
 def _bp_group(Pf, p: _FastPlan, view_idx: np.ndarray, xdrive: bool):

@@ -39,6 +39,20 @@ t0 = time.time()
 out_on = jax.block_until_ready(f_on(pj0))
 print(f"compile on:  {time.time()-t0:.1f}s", flush=True)
 
+ff._PREP_PALLAS = True
+f_all = jax.jit(lambda x: raw(x, SIEMENS_FBP, True))
+t0 = time.time()
+try:
+    out_all = jax.block_until_ready(f_all(pj0))
+    print(f"compile on+prep: {time.time()-t0:.1f}s", flush=True)
+    d = np.abs(np.asarray(out_all) - np.asarray(out_on)).max()
+    print(f"prep parity: max|d|={d:.3e}", flush=True)
+except Exception as e:
+    print(f"prep-pallas FAILED: {type(e).__name__}: {str(e)[:300]}",
+          flush=True)
+    f_all = None
+ff._PREP_PALLAS = False
+
 a, b = np.asarray(out_off), np.asarray(out_on)
 print(f"parity: max|d|={np.abs(a-b).max():.3e} "
       f"rel={np.abs(a-b).max()/max(np.abs(a).max(),1e-9):.3e}", flush=True)
@@ -60,6 +74,8 @@ for pas in (1, 2):
     print(f"pass {pas}:", flush=True)
     timed("fbp_convert_fast B=3 rebin=XLA   ", f_off)
     timed("fbp_convert_fast B=3 rebin=Pallas", f_on)
+    if f_all is not None:
+        timed("fbp_convert_fast B=3 rebin+prep  ", f_all)
 
 # --- isolate the BP prep (fine resample + offsets) cost ------------------
 from ipdm_tpu.recon.fbp_fast import _plan_for, _prep_group  # noqa: E402

@@ -129,3 +129,50 @@ def test_rebin_view_lerp_kernel_matches_gather():
                                      jnp.asarray(vf), M, interpret=True))
     np.testing.assert_allclose(np.swapaxes(got, 0, 1), want,
                                rtol=1e-6, atol=1e-6)
+
+
+def test_affine_resample_lerp_matches_gather():
+    """The banded one-hot-matmul resample kernel == the two-tap gather
+    formula (interpret mode), ascending and descending monotone indices,
+    including edge-clipped runs."""
+    from ipdm_tpu.ops.pallas.shift import affine_resample_lerp
+
+    rng = np.random.RandomState(2)
+    V, B, Nt, Lp = 5, 3, 200, 256
+    Ntp = -(-(Nt + 384) // 128) * 128
+    P = np.zeros((V, B, Ntp), np.float32)
+    P[:, :, :Nt + 1] = rng.rand(V, B, Nt + 1)   # qi0+1 may reach Nt
+    qi0 = np.empty((V, Lp), np.int64)
+    qf = rng.rand(V, Lp).astype(np.float32)
+    for v in range(V):
+        step = rng.uniform(0.5, 1.0)
+        sgn = 1 if v % 2 == 0 else -1
+        start = rng.uniform(-20, 40)
+        pos = start + sgn * step * np.arange(Lp)
+        qi0[v] = np.clip(np.floor(pos).astype(np.int64), 0, Nt - 1)
+    want = np.empty((V, B, Lp), np.float32)
+    for v in range(V):
+        want[v] = ((1 - qf[v]) * P[v][:, qi0[v]]
+                   + qf[v] * P[v][:, qi0[v] + 1])
+    got = np.asarray(affine_resample_lerp(
+        jnp.asarray(P), jnp.asarray(qi0.astype(np.int32)),
+        jnp.asarray(qf), interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_prep_pallas_branch_matches_gather_branch(setup, monkeypatch):
+    """_prep_group's Pallas resample branch == the XLA gather branch on
+    the small geometry (interpret mode), plus full-convert parity."""
+    import ipdm_tpu.recon.fbp_fast as ff
+
+    g, _, proj = setup
+    p = ff._plan_for(g)
+    Mf = g.M // 2
+    xd = np.nonzero(p.group_xdrive[:Mf])[0]
+    rng = np.random.RandomState(3)
+    Pf = jnp.asarray(rng.rand(2, Mf, p.Nt).astype(np.float32))
+    want = [np.asarray(a) for a in ff._prep_group(Pf, p, xd, True)]
+    monkeypatch.setattr(ff, "_PREP_PALLAS", True)
+    got = [np.asarray(a) for a in ff._prep_group(Pf, p, xd, True)]
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
