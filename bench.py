@@ -119,8 +119,21 @@ def main():
 
     gd_img = GaussianDiffusion(1000, "cosine")
     gd_proj = GaussianDiffusion(1000, "cosine")
-    img_fn = lambda x, t: img_model.apply(img_params, x, t)
-    proj_fn = lambda x, t: proj_model.apply(proj_params, x, t)
+    if "--pack" in sys.argv:
+        # single-buffer params: relay dispatch cost scales with the
+        # program's argument/captured leaf count (~250 per UNet tree);
+        # packed, each closure marshals 1-2 buffers instead
+        from ipdm_tpu.utils.param_pack import pack_params, unpack_params
+        img_pk, img_spec = pack_params(img_params)
+        proj_pk, proj_spec = pack_params(proj_params)
+        img_fn = lambda x, t: img_model.apply(
+            unpack_params(img_pk, img_spec), x, t)
+        proj_fn = lambda x, t: proj_model.apply(
+            unpack_params(proj_pk, proj_spec), x, t)
+        log("params packed into single buffers")
+    else:
+        img_fn = lambda x, t: img_model.apply(img_params, x, t)
+        proj_fn = lambda x, t: proj_model.apply(proj_params, x, t)
     proj_curve = proj_curve_init()
 
     # --- synthetic inputs -------------------------------------------------

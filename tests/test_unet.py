@@ -372,3 +372,30 @@ def test_planar_conv_kernel_matches_einsum_lowering():
             np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
     finally:
         um.VPU_UNROLL_MAX = old
+
+
+def test_param_pack_roundtrip_and_apply():
+    """pack_params/unpack_params is the identity, and a jitted apply on
+    the packed single-buffer argument matches the pytree apply."""
+    from ipdm_tpu.utils.param_pack import pack_params, unpack_params
+
+    m = UNetModel(in_channels=1, out_channels=1, model_channels=8,
+                  attention_resolutions=(2,), channel_mult=(1, 2),
+                  num_heads=2)
+    params, x, t = _init(m, (1, 8, 8, 1))
+    packed, spec = pack_params(params)
+    assert len(jax.tree_util.tree_leaves(packed)) <= 2  # one per dtype
+    rebuilt = unpack_params(packed, spec)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(rebuilt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert a.dtype == b.dtype and a.shape == b.shape
+
+    want = np.asarray(m.apply(params, x, t))
+
+    @jax.jit
+    def packed_apply(pk, x, t):
+        return m.apply(unpack_params(pk, spec), x, t)
+
+    got = np.asarray(packed_apply(packed, x, t))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
