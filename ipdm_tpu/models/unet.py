@@ -207,18 +207,18 @@ PLANAR_PALLAS_CONV = False
 # a 3×(P+2) kernel (output phase i uses taps i..i+2; the kernel is
 # 1−3/(P+2) zeros → (P+2)/3× MACs for a P× MXU-fill win; net 3P/(P+2)).
 # Exact reparametrization; XLA keeps the im2col implicit.
-# Tri-state: None = auto (TPU only — XLA:CPU's conv-grad compile chokes on
-# the packed form and the MXU argument is TPU-specific); True/False forced.
+# Tri-state: None = auto; True/False forced. Hardware A/B
+# (scripts/probe_wpair.py, v5e via relay): img eval 34.8 vs 29.9 ms
+# (WORSE — XLA's stride-P conv lowering eats the MXU-fill win), proj
+# neutral (86.2 vs 85.6 ms) → auto now resolves to OFF everywhere; the
+# packed path and its parity tests remain for future re-measurement.
 WPAIR_N64 = None
 
 
 def _wpack_enabled() -> bool:
     if WPAIR_N64 is not None:
         return WPAIR_N64
-    try:
-        return jax.devices()[0].platform == "tpu"
-    except Exception:
-        return False
+    return False
 
 
 def _wpack_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
