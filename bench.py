@@ -87,6 +87,18 @@ def main():
         f"mode: {'ART(flagship)' if art_mode else 'FBP'}")
     cache0 = _cache_entries()
 
+    # relay-speed self-diagnostic: chained tiny-op dispatch latency varies
+    # 0.5-44 ms/call across bench hosts (docs/PERF.md) and dominates
+    # cross-round headline drift; record it with every bench so the JSON
+    # tail carries its own host context.
+    y = jnp.float32(1.0)
+    _ = float(y + 1)  # warm the trivial program + first device touch
+    t0 = time.time()
+    for _i in range(20):
+        y = y + 1
+    _ = float(y)
+    log(f"relay dispatch: {(time.time()-t0)/20*1e3:.2f} ms/chained call")
+
     rng = jax.random.PRNGKey(0)
 
     # --- models (reference test_prog architectures) ----------------------

@@ -148,14 +148,54 @@ def fused_probe(model_fn: Callable, gd: GaussianDiffusion, spec: ProbeSpec,
     return x, delt, dmax
 
 
+# Scan the outer iterations instead of unrolling when every ts is equal:
+# bit-identical (same rng split order, same per-iteration body), but the
+# compiled program contains ONE iteration body instead of len(ts_list) —
+# the flagship preset's t_start=[15,15,15] stages shrink ~3x in HLO, which
+# cuts both XLA compile time and the executable fetch through the relay
+# (docs/PERF.md round-2 host: 348 s warmup even on a comp-cache HIT).
+_ITER_SCAN = True
+
+
+def _guidance_update(spec: RestSpec, x, x0, ldct):
+    """imgs update between iterations (reference model.py:622-635)."""
+    if spec.mode == "proj":
+        return spec.eta * x + (1 - spec.eta) * x0
+    base = ldct if spec.has_ldct else x0
+    return spec.eta * x + (0.95 - spec.eta) * x0 + 0.05 * base
+
+
 @partial(jax.jit, static_argnames=("model_fn", "gd", "spec"))
 def fused_iters(model_fn: Callable, gd: GaussianDiffusion, spec: RestSpec,
                 x_init: jnp.ndarray, x0: jnp.ndarray, guidance: jnp.ndarray,
                 delt_map: jnp.ndarray, ldct: jnp.ndarray, rng
                 ) -> List[jnp.ndarray]:
-    """All remaining outer iterations in ONE dispatch (unrolled over the
-    static ts_list; each iteration is a lax.scan). Mirrors the reference
+    """All remaining outer iterations in ONE dispatch (a lax.scan over the
+    iterations when ts_list is uniform, else unrolled; each iteration is
+    itself a lax.scan over timesteps). Mirrors the reference
     guidance-update schedule (model.py:622-635)."""
+    n_it = len(spec.ts_list)
+    if (_ITER_SCAN and n_it > 1 and len(set(spec.ts_list)) == 1
+            and not spec.save_states):
+        ts = int(spec.ts_list[0])
+        if spec.lambda_kind == "constant":
+            lam_fn = lambda i: jnp.float32(spec.constant_guidance)
+        else:
+            lam_fn = lambda i: nearest_upsample(
+                condition_lambda_map(delt_map, i, ts),
+                (x0.shape[1], x0.shape[2]))
+
+        def body(carry, _):
+            x, g, r = carry
+            r, k = jax.random.split(r)
+            x = _one_iteration(model_fn, gd, ts, spec.mode, spec.clip,
+                               lam_fn, x, g, k)
+            return (x, _guidance_update(spec, x, x0, ldct), r), x
+
+        _, ys = jax.lax.scan(body, (x_init, guidance, rng), None,
+                             length=n_it)
+        return [ys[i] for i in range(n_it)]
+
     results = []
     states = []
     x = x_init

@@ -147,3 +147,41 @@ def test_save_states_returns_trajectory(gd):
     assert states is not None and len(states) == 2
     assert states[0].shape == (3, 1, 16, 16, 1)
     assert states[1].shape == (2, 1, 16, 16, 1)
+
+
+def test_iter_scan_matches_unrolled(gd):
+    """The scan-over-iterations lowering of fused_iters (uniform ts_list)
+    must be bit-identical to the unrolled path, both λ kinds."""
+    from ipdm_tpu.diffusion import guided
+    from ipdm_tpu.diffusion.guided import RestSpec, fused_iters
+
+    rng = jax.random.PRNGKey(3)
+    x = jax.random.uniform(rng, (1, 16, 16, 1))
+    ldct = jax.random.uniform(jax.random.PRNGKey(4), (1, 16, 16, 1))
+    delt = jnp.clip(jax.random.uniform(jax.random.PRNGKey(5), (1, 4, 4, 1)),
+                    0.3, 0.99)
+    specs = [
+        RestSpec(ts_list=(3, 3, 3), mode="img", clip=True, eta=0.7,
+                 lambda_kind="constant", constant_guidance=0.45,
+                 has_ldct=True),
+        RestSpec(ts_list=(3, 3), mode="proj", clip=False, eta=0.5,
+                 lambda_kind="map"),
+    ]
+    # use the unjitted function: the jit cache keys on (model_fn, gd, spec)
+    # only, so flipping the module flag would otherwise hit the cached trace
+    raw = fused_iters.__wrapped__
+    for spec in specs:
+        old = guided._ITER_SCAN
+        try:
+            guided._ITER_SCAN = True
+            a = raw(_identity_noise_model, gd, spec, x, x, x,
+                    delt, ldct, jax.random.PRNGKey(7))
+            guided._ITER_SCAN = False
+            b = raw(_identity_noise_model, gd, spec, x, x, x,
+                    delt, ldct, jax.random.PRNGKey(7))
+        finally:
+            guided._ITER_SCAN = old
+        assert len(a) == len(b) == len(spec.ts_list)
+        for ai, bi in zip(a, b):
+            np.testing.assert_allclose(np.asarray(ai), np.asarray(bi),
+                                       rtol=1e-5, atol=1e-6)
