@@ -238,6 +238,26 @@ def test_prog_adaptive_and_proj_state(prog_root, tmp_path):
 
 
 @pytest.mark.slow
+def test_prog_sparse_ddim_end_to_end(prog_root, tmp_path):
+    """Sparse (DDIM) sampling in BOTH domains through the engine — the
+    reference notebook cell-3 path (sample_method_*="sparse" →
+    sparse_guided_reverse_process, train_test_utils.py:445-453,505-514)."""
+    opt = _prog_opt(prog_root, "test_prog",
+                    sample_method_proj="sparse", ddim_timesteps_proj=[1, 2],
+                    sample_method_img="sparse", ddim_timesteps_img=[1, 2])
+    eng = ProgressiveDomainDenoiser(opt, result_save_path=str(tmp_path / "o"))
+    ld_img, fd_proj, fd_img, ld_proj = eng.test_dataset[0]
+    eng.data_sample_load(ldct=ld_img[None], ldproj=ld_proj[None],
+                         fdproj=fd_proj, fdct=fd_img[None])
+    res = eng.progressive_denoiser()
+    assert res.shape[1:3] == (32, 32)
+    assert np.all(np.isfinite(np.asarray(res)))
+    # both stages stored per-iteration results (2 t_start iters + ensemble)
+    assert "iter_1" in eng.proj_denoise_convert2img_result
+    assert "iter_1" in eng.progressive_denoise_result
+
+
+@pytest.mark.slow
 def test_resume_restores_optimizer_state(tmp_path):
     """Resume must restore params INTO the train state plus the optimizer
     state and step (reference loggerx.py:71-80 restores every registered
