@@ -274,4 +274,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — self-heal transient worker loss
+        # The tunneled TPU worker can crash/restart mid-run (observed once
+        # on 2026-08-19: UNAVAILABLE on the first execution right after a
+        # cold 963 s compile; the immediate retry ran clean). The compiled
+        # program survives in the persistent cache, so one fresh-process
+        # retry is cheap (~2-3 min) and turns a transient into a result.
+        transient = any(s in str(e) for s in
+                        ("UNAVAILABLE", "crashed or restarted",
+                         "DEADLINE_EXCEEDED", "Socket closed"))
+        if transient and not os.environ.get("IPDM_BENCH_RETRIED"):
+            log(f"transient runtime failure, retrying in fresh process: {e}")
+            os.environ["IPDM_BENCH_RETRIED"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise

@@ -149,12 +149,16 @@ def fused_probe(model_fn: Callable, gd: GaussianDiffusion, spec: ProbeSpec,
 
 
 # Scan the outer iterations instead of unrolling when every ts is equal:
-# bit-identical (same rng split order, same per-iteration body), but the
-# compiled program contains ONE iteration body instead of len(ts_list) —
+# same math and rng split order (outputs agree to f32 fusion-reordering
+# noise, ~1e-6), but the compiled program contains ONE iteration body
+# instead of len(ts_list) —
 # the flagship preset's t_start=[15,15,15] stages shrink ~3x in HLO, which
 # cuts both XLA compile time and the executable fetch through the relay
 # (docs/PERF.md round-2 host: 348 s warmup even on a comp-cache HIT).
-_ITER_SCAN = True
+# Env-gated (IPDM_ITER_SCAN=0 disables) for hardware A/B: the unrolled
+# lowering is the one validated on the round-2 bench host.
+import os as _os
+_ITER_SCAN = _os.environ.get("IPDM_ITER_SCAN", "1") != "0"
 
 
 def _guidance_update(spec: RestSpec, x, x0, ldct):

@@ -11,9 +11,12 @@ Run: env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/probe_hlo_size.p
 """
 
 import collections
+import os.path as osp
 import re
 import sys
 import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
