@@ -282,7 +282,12 @@ if __name__ == "__main__":
         # cold 963 s compile; the immediate retry ran clean). The compiled
         # program survives in the persistent cache, so one fresh-process
         # retry is cheap (~2-3 min) and turns a transient into a result.
-        transient = any(s in str(e) for s in
+        # type-gate first (ADVICE r2): only runtime/RPC errors qualify, so
+        # an assertion that merely QUOTES 'UNAVAILABLE' can't trigger it
+        runtime_err = any(t in type(e).__name__ for t in
+                          ("XlaRuntimeError", "RpcError", "InternalError",
+                           "OSError", "ConnectionError"))
+        transient = runtime_err and any(s in str(e) for s in
                         ("UNAVAILABLE", "crashed or restarted",
                          "DEADLINE_EXCEEDED", "Socket closed"))
         if transient and not os.environ.get("IPDM_BENCH_RETRIED"):

@@ -124,12 +124,14 @@ class IPDMConfig:
     sart_nstart: int = 10  # outer SART sweeps (reference nstart=10)
     sart_sample_rate: int = 1  # sparse-view ART: keep every k-th view
     #   (recons_torch sample_rate, TASART2DNSL0_PyAPI.cpp:37)
-    use_pallas: bool = True  # Pallas fast path for projector/FBP kernels
     native_loader: bool = True  # C++ prefetching batch loader for training
     #   (native/libipdm_native.so via ctypes); silently falls back to the
     #   synchronous python loader when the library isn't built
     exact_fbp: bool = False  # force the reference-faithful direct fan BP
     #   (slow on TPU) instead of the rebinned slice-gather fast path
+    exact_art: bool = False  # force the reference-faithful fan-beam
+    #   footprint SART (recon.sart) instead of the rebinned-parallel
+    #   OS-SART fast path (parity/golden runs)
     seed: int = 0
     max_iter: int = 0  # derived at runtime (train)
     resume_iter: int = 0  # derived at runtime (train)

@@ -265,6 +265,7 @@ class ProgressiveDomainDenoiser:
                                    nstart=self.opt.sart_nstart,
                                    nsubsets=self.opt.sart_subsets,
                                    geom=geom, exact_fbp=self.opt.exact_fbp,
+                                   exact_art=self.opt.exact_art,
                                    sample_rate=self.opt.sart_sample_rate)
 
     def _init_training(self):

@@ -193,64 +193,11 @@ def _up2_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
 # lowering is MXU M-stream-bound; 16-channel levels and up keep the einsum
 # (VPU term count grows ∝ cin·cout while the M-stream cost shrinks with
 # the downsampled resolution). Set to 0 to disable.
+# (Measured-loser variants — W-packed convs, VPU_UNROLL_MAX=256, a
+# single-pass Pallas planar conv — were removed after hardware A/Bs; see
+# docs/PERF.md "Optimization backlog" for the numbers and git history for
+# the code.)
 VPU_UNROLL_MAX = 64
-
-# route stride-1 planar convs through the single-pass Pallas kernel
-# (ops/pallas/planar_conv.py) instead of the nine-einsum lowering.
-# Off by default until measured on hardware; probes flip it.
-PLANAR_PALLAS_CONV = False
-
-# W-pack output packing for NHWC 3×3 convs with Co < 128 output channels
-# (img UNet 512²/256² levels: Co=64; proj UNet level-transition blocks:
-# Co=16): N=Co fills Co/128 of the MXU, so P = 128//Co adjacent output
-# columns are computed as one P·Co-channel output of a stride-P conv with
-# a 3×(P+2) kernel (output phase i uses taps i..i+2; the kernel is
-# 1−3/(P+2) zeros → (P+2)/3× MACs for a P× MXU-fill win; net 3P/(P+2)).
-# Exact reparametrization; XLA keeps the im2col implicit.
-# Tri-state: None = auto; True/False forced. Hardware A/B
-# (scripts/probe_wpair.py, v5e via relay): img eval 34.8 vs 29.9 ms
-# (WORSE — XLA's stride-P conv lowering eats the MXU-fill win), proj
-# neutral (86.2 vs 85.6 ms) → auto now resolves to OFF everywhere; the
-# packed path and its parity tests remain for future re-measurement.
-WPAIR_N64 = None
-
-
-def _wpack_enabled() -> bool:
-    if WPAIR_N64 is not None:
-        return WPAIR_N64
-    return False
-
-
-def _wpack_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
-                P: int, im2col: bool = False,
-                dtype=None) -> jnp.ndarray:
-    """3×3 stride-1 conv with Co·P ≤ 128 as a W-packed stride-P conv
-    (see WPAIR_N64). x: [B, H, W, Ci] with W % P == 0. im2col=True
-    builds the packed patches explicitly (small-Ci path, where XLA's
-    conv emitter is slow)."""
-    B, H, W, Ci = x.shape
-    Co = kernel.shape[-1]
-    z = jnp.zeros_like(kernel[:, 0])                       # [3,Ci,Co]
-    cols = []
-    for d in range(P + 2):
-        blocks = [kernel[:, d - i] if 0 <= d - i < 3 else z
-                  for i in range(P)]
-        cols.append(jnp.concatenate(blocks, axis=-1))      # [3,Ci,P·Co]
-    kp = jnp.stack(cols, axis=1)                           # [3,P+2,Ci,P·Co]
-    if im2col:
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        Wp = W // P
-        taps = [xp[:, dh:dh + H, d:d + (Wp - 1) * P + 1:P, :]
-                for dh in range(3) for d in range(P + 2)]
-        patches = jnp.concatenate(taps, axis=-1)           # [B,H,Wp,3(P+2)Ci]
-        y = jnp.einsum("bhwk,kc->bhwc", patches,
-                       kp.reshape(3 * (P + 2) * Ci, P * Co),
-                       preferred_element_type=dtype or x.dtype)
-        return y.reshape(B, H, W, Co) + bias
-    y = jax.lax.conv_general_dilated(
-        x, kp, (1, P), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))        # [B,H,W/P,P·Co]
-    return y.reshape(B, H, W, Co) + bias
 
 
 class Conv3x3(nn.Module):
@@ -284,9 +231,6 @@ class Conv3x3(nn.Module):
             assert not planar
             return _up2_conv(x, kernel, bias, self.dtype)
         s = self.strides
-        if planar and s == 1 and PLANAR_PALLAS_CONV:
-            from ipdm_tpu.ops.pallas.planar_conv import planar_conv3x3
-            return planar_conv3x3(x, kernel, bias)
         if planar:
             B, _, H, W = x.shape
             Ho = -(-H // s)
@@ -324,23 +268,11 @@ class Conv3x3(nn.Module):
                 y = r if y is None else y + r
             return y + bias[None, :, None, None]
         if cin > self.im2col_max_cin:
-            # pack factor capped at 8: below Co=16 the GEMM is M-stream-
-            # bound, not fill-bound, and kernel inflation stops paying
-            P = (min(8, 128 // self.features)
-                 if 16 <= self.features <= 64 else 1)
-            if (_wpack_enabled() and s == 1 and P > 1
-                    and x.shape[2] % P == 0):
-                return _wpack_conv(x, kernel, bias, P)
             y = jax.lax.conv_general_dilated(
                 x, kernel, (s, s), ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             return y + bias
         B, H, W, _ = x.shape
-        P = (min(8, 128 // self.features)
-             if 16 <= self.features <= 64 else 1)
-        if _wpack_enabled() and s == 1 and P > 1 and W % P == 0:
-            return _wpack_conv(x, kernel, bias, P, im2col=True,
-                               dtype=self.dtype)
         Ho = -(-H // s)
         Wo = -(-W // s)
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))

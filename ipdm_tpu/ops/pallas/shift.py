@@ -581,58 +581,6 @@ def os_sart_sweep(x: jnp.ndarray, rf: jnp.ndarray, inv2: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# Fan→parallel rebin: fused detector lerp + circular view-shift lerp
-# ---------------------------------------------------------------------------
-#
-# The XLA rebin (recon/fbp_fast._rebin) pays two 10.9M-element arbitrary
-# gathers per convert (row gather over det indices + flat windowed view
-# gather, ~47 ms for B=3 on v5e). Here: grid over the Nt parallel t-bins;
-# each step reads the two fan detector rows (leading-dim dynamic slices),
-# lerps them, and extracts the view window with one dynamic roll — the
-# same access-pattern toolkit as the BP/FP kernels.
-
-
-def _rebin_kernel(vi_ref, vf_ref, g_ref, out_ref):
-    _, B, W2 = g_ref.shape
-    M = out_ref.shape[-1]
-    j = pl.program_id(0)
-    G = g_ref[0]                                           # [B, W2]
-    # view window [v, v+M+1): left-roll by v (v+M+1 ≤ 2M+1 ≤ W2, so the
-    # zero pad never rotates into the window)
-    W = pltpu.roll(G, shift=W2 - vi_ref[j], axis=1)
-    fv = vf_ref[j]
-    out_ref[...] = ((1.0 - fv) * W[:, :M]
-                    + fv * W[:, 1:M + 1])[None]
-
-
-@functools.partial(jax.jit, static_argnames=("M", "interpret"))
-def rebin_view_lerp(G2: jnp.ndarray, view_i0: jnp.ndarray,
-                    view_f: jnp.ndarray, M: int,
-                    interpret: bool = False) -> jnp.ndarray:
-    """G2: [Nt, B, W2] det-lerped parallel-t rows with the view axis
-    DOUBLED in [:2M] (circular-shift headroom) and zero-padded to W2 (a
-    128-multiple ≥ 2M+1). view_i0 int32 [Nt] in [0, M); view_f f32 [Nt].
-    Returns [Nt, B, M]:
-      out[j, :, k] = (1−f_j)·G2[j, :, v_j+k] + f_j·G2[j, :, v_j+k+1]
-    — the circular view-shift lerp of recon/fbp_fast._rebin without its
-    10.9M-element arbitrary flat gathers."""
-    Nt, B, W2 = G2.shape
-    assert W2 % 128 == 0 and W2 >= 2 * M + 1
-    return pl.pallas_call(
-        _rebin_kernel,
-        grid=(Nt,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, B, W2), lambda j: (j, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, B, M), lambda j: (j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((Nt, B, M), G2.dtype),
-        interpret=interpret or not _on_tpu(),
-    )(view_i0, view_f, G2)
-
-
-# ---------------------------------------------------------------------------
 # FP: deposit rows into per-view signals at per-row offsets
 # ---------------------------------------------------------------------------
 
@@ -694,67 +642,3 @@ def fp_shift_deposit(rows: jnp.ndarray, s0: jnp.ndarray, s1: jnp.ndarray,
     )(s0, s1, w0, w1, rows)
 
 
-# ---------------------------------------------------------------------------
-# Affine two-tap resample: banded one-hot matmul gather
-# ---------------------------------------------------------------------------
-#
-# The BP prep stage resamples each filtered parallel row P onto a per-view
-# stride-a fine grid: Q'[m] = (1−f_m)·P[q_m] + f_m·P[q_m+1] with q_m the
-# floor of an affine position (step ≤ 1 t-bin per output). XLA lowers the
-# q_m gather on the scalar path. Here the monotone-affine structure turns
-# each 128-output block into: one aligned window read + roll, a broadcast
-# iota-compare that builds the banded [D, 128] two-tap lerp matrix, and a
-# single small MXU contraction — no per-element gathers at all.
-
-_ARS_D = 136   # per-block source span bound: 128·step(≤1) + taps + slack
-
-
-def _ars_kernel(qis_ref, qiv_ref, qf_ref, p_ref, out_ref):
-    _, B, Ntp = p_ref.shape
-    Lp = out_ref.shape[-1]
-    D = _ARS_D
-    for j in range(Lp // 128):
-        first = qis_ref[0, j * 128]
-        last = qis_ref[0, j * 128 + 127]
-        base = jnp.minimum(first, last)      # monotone either direction
-        a = pl.multiple_of((base // 128) * 128, 128)
-        rem = base - a
-        w = p_ref[0, :, pl.ds(a, 384)]                      # [B, 384]
-        w2 = pltpu.roll(w, shift=384 - rem, axis=1)         # w2[:,d]=w[rem+d]
-        qi2 = qiv_ref[0, pl.ds(j * 128, 128)] - base        # [128] in [0,D)
-        qf = qf_ref[0, pl.ds(j * 128, 128)]                 # [128]
-        iota = jax.lax.broadcasted_iota(jnp.int32, (D, 128), 0)
-        c0 = (iota == qi2[None, :]).astype(w.dtype)
-        c1 = (iota == qi2[None, :] + 1).astype(w.dtype)
-        Wm = c0 * (1.0 - qf)[None, :] + c1 * qf[None, :]    # [D, 128]
-        blk = jax.lax.dot_general(
-            w2[:, :D], Wm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # [B, 128]
-        out_ref[0, :, pl.ds(j * 128, 128)] = blk.astype(out_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def affine_resample_lerp(P: jnp.ndarray, qi0: jnp.ndarray, qf: jnp.ndarray,
-                         interpret: bool = False) -> jnp.ndarray:
-    """P: [V, B, Ntp] source rows, zero-padded so Ntp % 128 == 0 and
-    Ntp ≥ max(qi0) + 384 (window headroom). qi0: [V, Lp] int32, clipped to
-    [0, Nt−1], MONOTONE per view with within-128-block span < _ARS_D − 2
-    (guaranteed by step ≤ 1); Lp % 128 == 0. qf: [V, Lp] f32.
-    Returns [V, B, Lp]: (1−qf)·P[v,:,qi0] + qf·P[v,:,qi0+1]."""
-    V, B, Ntp = P.shape
-    Lp = qi0.shape[-1]
-    assert Ntp % 128 == 0 and Lp % 128 == 0
-    return pl.pallas_call(
-        _ars_kernel,
-        grid=(V,),
-        in_specs=[
-            pl.BlockSpec((1, Lp), lambda v: (v, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Lp), lambda v: (v, 0)),
-            pl.BlockSpec((1, Lp), lambda v: (v, 0)),
-            pl.BlockSpec((1, B, Ntp), lambda v: (v, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, B, Lp), lambda v: (v, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((V, B, Lp), P.dtype),
-        interpret=interpret or not _on_tpu(),
-    )(qi0, qi0, qf, P)

@@ -134,17 +134,6 @@ def _rebin(pj: jnp.ndarray, p: _FastPlan) -> jnp.ndarray:
     fd = jnp.asarray(p.det_f)[None, :, None]
     G = (1 - fd) * r0 + fd * r1
     G = G * jnp.asarray(p.det_valid)[None, :, None]
-    if _REBIN_PALLAS and _use_pallas(p.n):
-        # circular view-shift lerp as one Pallas launch (one dynamic roll
-        # per t-bin) instead of two 10.9M-element arbitrary flat gathers
-        from ipdm_tpu.ops.pallas.shift import rebin_view_lerp
-        W2 = -(-(2 * M + 1) // 128) * 128
-        G2 = jnp.concatenate([G, G], axis=2)                 # [B, Nt, 2M]
-        G2 = jnp.pad(jnp.swapaxes(G2, 0, 1),                 # [Nt, B, 2M]
-                     ((0, 0), (0, 0), (0, W2 - 2 * M)))
-        P = rebin_view_lerp(G2, jnp.asarray(p.view_i0, jnp.int32),
-                            jnp.asarray(p.view_f), M)        # [Nt, B, M]
-        return jnp.transpose(P, (1, 2, 0))                   # [B, M, Nt]
     # per-column circular view shift (k + s_j) mod M: double the view axis
     # so the wrap becomes a plain contiguous slice (start+iota fast pattern)
     Gpad = jnp.concatenate([G, G], axis=2)                   # [B, Nt, 2M]
@@ -170,15 +159,8 @@ def _ramp_parallel(P: jnp.ndarray, p: _FastPlan) -> jnp.ndarray:
     return full[..., Nt - 1: 2 * Nt - 1]
 
 
-# trace-time switch for the Pallas rebin branch. Default OFF until the
-# kernel has been validated on real TPU hardware (the relay was down when
-# it landed); probes flip it and the default follows the measurement.
-_REBIN_PALLAS = False
 # static row-unroll factor for the BP kernel's row loop (A/B probes)
 _BP_ROW_UNROLL = 1
-# Pallas banded-matmul resample for the BP prep stage (A/B probes; default
-# off until validated on hardware)
-_PREP_PALLAS = False
 
 
 def _use_pallas(n: int) -> bool:
@@ -250,26 +232,13 @@ def _prep_group(Pf, p: _FastPlan, view_idx: np.ndarray, xdrive: bool):
 
     qi0, qf, qvalid, start0, start1, o_frac = jax.vmap(coords_one)(
         drive_trig, other_trig)
-    if _PREP_PALLAS:
-        # banded one-hot-matmul resample kernel (monotone-affine qi0 with
-        # step ≤ 1 per output — guaranteed by the Kq choice)
-        from ipdm_tpu.ops.pallas.shift import affine_resample_lerp
-        Lp = -(-LqK // 128) * 128
-        qi0p = jnp.pad(qi0, ((0, 0), (0, Lp - LqK)), mode="edge")
-        qfp = jnp.pad(qf, ((0, 0), (0, Lp - LqK)))
-        Ntp = -(-(Nt + 384) // 128) * 128
-        Pv = jnp.pad(jnp.swapaxes(P_g, 0, 1),      # [V, B, Ntp]
-                     ((0, 0), (0, 0), (0, Ntp - Nt)))
-        Qp = affine_resample_lerp(Pv, qi0p, qfp)[..., :LqK]
-        Qp = Qp * qvalid[:, None, :]               # [V, B, LqK]
-    else:
-        qi1 = jnp.minimum(qi0 + 1, Nt - 1)
+    qi1 = jnp.minimum(qi0 + 1, Nt - 1)
 
-        def gather_one(P_v, i0, i1, f, val):
-            return ((1 - f) * P_v[:, i0] + f * P_v[:, i1]) * val
+    def gather_one(P_v, i0, i1, f, val):
+        return ((1 - f) * P_v[:, i0] + f * P_v[:, i1]) * val
 
-        Qp = jax.vmap(gather_one, in_axes=(1, 0, 0, 0, 0))(
-            P_g, qi0, qi1, qf, qvalid)             # [V, B, LqK]
+    Qp = jax.vmap(gather_one, in_axes=(1, 0, 0, 0, 0))(
+        P_g, qi0, qi1, qf, qvalid)                 # [V, B, LqK]
     # flat layout T2[k·L2 + r] = Q'[r·Kq + k] so that the pixel tap at
     # Q'-index Kq·j + o_i is the contiguous window start_i + j
     T2 = jnp.swapaxes(Qp.reshape(-1, B, L2, Kq), 2, 3).reshape(-1, B, LqK)

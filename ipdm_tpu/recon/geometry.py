@@ -5,7 +5,8 @@ TASART2DNSL0_PyAPI.cpp:10-29, TASART2DNSL0.h:22-41) and its shipped binary
 lookup table (Recon/Simens_alut.txt). Instead of shipping an opaque binary,
 the area LUT is derived **analytically** here (exact square/half-plane overlap
 areas), which reproduces the shipped table to float32 precision — validated in
-tests/test_geometry.py against the reference file when present.
+tests/test_recon.py (LUT/θ parity cases) against the reference file when
+present.
 
 Geometry conventions follow the native reconstructor:
   * source at R(β)·(0, dso), detector arc of nr equiangular bins of width dr

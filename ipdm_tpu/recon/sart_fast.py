@@ -71,13 +71,6 @@ from ipdm_tpu.recon.sart import nsl0_tv_grad
 # static row-unroll factor for the fused sweep kernel's row loops
 # (trace-time, A/B probes)
 _OSS_ROW_UNROLL = 1
-# Pallas inverse-rebin gate: None = auto (on TPU), True/False = forced.
-# Default OFF until the kernel is validated on real TPU hardware; probes
-# flip it and the default follows the measurement.
-_INV_REBIN_PALLAS = False
-# banded-matmul resample for the measured-ratio → fine-grid step (once per
-# convert); default off until hardware-validated
-_RESAMPLE_PALLAS = False
 
 
 def _round_up(x: int, m: int) -> int:
@@ -193,26 +186,6 @@ class _Group:
         qvalid = ((qpos >= 0.0) & (qpos <= Nt - 1) & live_f[None, :]
                   & live_v).astype(jnp.float32)
         return qi0, qi1, qf, qvalid
-
-    def fine_tables_m(self):
-        """Like fine_tables but in ray (m) order — qpos is globally
-        monotone-affine with |step| ≤ 1 there, which is what the banded
-        one-hot-matmul resample kernel needs. Returns (qi0 int32
-        [Vpad, K·Lq], qf f32); transpose to the flat layout afterwards
-        with m = r·K + k ↦ f = k·Lq + r. Out-of-range positions
-        reproduce fine_tables' CLIPPED two-tap values (i0 == i1) by
-        zeroing qf there — the caller masks dead rays separately."""
-        Nt = self.p.Nt
-        m = jnp.arange(self.K * self.Lq, dtype=jnp.float32)
-        sgn = self._pad_vec(self.sgn)
-        step = self._pad_vec(self.step, fill=1.0)
-        beta0 = self._pad_vec(self.beta0)
-        qpos = sgn[:, None] * (step[:, None] * m[None, :] + beta0[:, None])
-        qi = jnp.floor(qpos)
-        qf = (qpos - qi).astype(jnp.float32)
-        qf = jnp.where((qpos < 0.0) | (qpos >= Nt - 1), 0.0, qf)
-        qi0 = jnp.clip(qi.astype(jnp.int32), 0, Nt - 1)
-        return qi0, qf
 
 
 class _SartFastPlan:
@@ -367,22 +340,6 @@ class _SartFastPlan:
         rv = jnp.swapaxes(R[:, jnp.asarray(grp.local_ids)], 0, 1)
         if grp.Vpad > grp.V:
             rv = jnp.pad(rv, ((0, grp.Vpad - grp.V), (0, 0), (0, 0)))
-        if _RESAMPLE_PALLAS:
-            # banded one-hot-matmul resample in ray (m) order, then the
-            # m = r·K + k ↦ f = k·Lq + r layout transpose
-            from ipdm_tpu.ops.pallas.shift import affine_resample_lerp
-            qi0, qf = grp.fine_tables_m()
-            KL = grp.K * grp.Lq
-            Lp = -(-KL // 128) * 128
-            qi0p = jnp.pad(qi0, ((0, 0), (0, Lp - KL)), mode="edge")
-            qfp = jnp.pad(qf, ((0, 0), (0, Lp - KL)))
-            Ntp = -(-(grp.p.Nt + 384) // 128) * 128
-            rvp = jnp.pad(rv, ((0, 0), (0, 0), (0, Ntp - grp.p.Nt)))
-            Qm = affine_resample_lerp(rvp, qi0p, qfp)[..., :KL]
-            Qf = jnp.swapaxes(
-                Qm.reshape(grp.Vpad, B, grp.Lq, grp.K), 2, 3
-            ).reshape(grp.Vpad, B, KL)
-            return jnp.pad(Qf, ((0, 0), (0, 0), (0, grp.L - KL)))
         qi0, qi1, qf, qvalid = grp.fine_tables()
         # 3-D gathers measured faster than B-unrolled 2-D on v5e (SART
         # B=3: 3.18 s with this form vs 5.38 s unrolled)
@@ -721,21 +678,6 @@ def _inverse_rebin(par: jnp.ndarray, p: _FastPlan, n_det: int,
     r1 = det_major[:, jnp.asarray(tb0 + 1), :]
     f = jnp.asarray(tbf)[None, :, None]
     G = ((1 - f) * r0 + f * r1) * jnp.asarray(tvalid)[None, :, None]
-    from ipdm_tpu.ops.pallas.shift import _on_tpu, rebin_view_lerp
-    use_pallas = (_INV_REBIN_PALLAS if _INV_REBIN_PALLAS is not None
-                  else _on_tpu())
-    if use_pallas:
-        # circular view-shift lerp as one Pallas launch per det column
-        # (same kernel as the forward rebin; the flat-gather form pays two
-        # 1.8M-element arbitrary gathers)
-        W2 = -(-(2 * M + 1) // 128) * 128
-        G2 = jnp.concatenate([G, G], axis=2)               # [B, n_det, 2M]
-        G2 = jnp.pad(jnp.swapaxes(G2, 0, 1),               # [n_det, B, 2M]
-                     ((0, 0), (0, 0), (0, W2 - 2 * M)))
-        P = rebin_view_lerp(G2, jnp.asarray(v0, jnp.int32),
-                            jnp.asarray(vf), M,
-                            interpret=not _on_tpu())       # [n_det, B, M]
-        return jnp.transpose(P, (1, 2, 0))                 # [B, M, n_det]
     Gpad = jnp.concatenate([G, G], axis=2)     # circular views
     flat = Gpad.reshape(B, -1)
     base = (jnp.arange(n_det, dtype=jnp.int32) * (2 * M)

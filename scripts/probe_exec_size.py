@@ -9,7 +9,8 @@ the real TPU and reports the per-stage cache entry sizes:
   ultra  — fused_iters, t_start=[5,5,5]
   proj   — fused_probe_and_iters, adaptive per-pixel λ
   sart   — batched(3) OS-SART convert
-  imgU   — img stage with IPDM_ITER_SCAN=0 (unrolled; run separately)
+  imgU   — not an argv stage: rerun `img` in a fresh process with
+           IPDM_ITER_SCAN=0 to measure the unrolled lowering
 
 Run ON TPU (no other python processes): python scripts/probe_exec_size.py
 """
@@ -78,7 +79,14 @@ def main():
     proj_curve = proj_curve_init()
     rng_s = jax.ShapeDtypeStruct((2,), jnp.uint32)
 
-    which = sys.argv[1:] or ["img", "ultra", "proj", "sart"]
+    known = ("img", "ultra", "proj", "sart")
+    which = sys.argv[1:] or list(known)
+    bad = [w for w in which if w not in known]
+    if bad:
+        # 'imgU' from the docstring means: re-run the img stage in a fresh
+        # process with IPDM_ITER_SCAN=0 — it is an env recipe, not a stage.
+        sys.exit(f"unknown stage(s) {bad}; choose from {list(known)} "
+                 "(imgU = rerun 'img' with IPDM_ITER_SCAN=0)")
     before = entries()
 
     if "img" in which:

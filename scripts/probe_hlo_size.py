@@ -97,6 +97,8 @@ def main():
             cur = m.group(1)
         if cur:
             sizes[cur] += len(line) + 1
+        if line == "}":        # top-level close: module text that follows
+            cur = None         # belongs to no function
     for name, sz in sizes.most_common(25):
         print(f"{sz/1e3:10.1f} kB  {name}")
 

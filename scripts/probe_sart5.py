@@ -36,21 +36,6 @@ for ru in (1, 8):
         out = jax.block_until_ready(variants[ru, fp_roll](pj0))
         print(f"compile ru={ru} fp_roll={fp_roll}: {time.time()-t0:.1f}s "
               f"sum={float(jnp.sum(out)):.6g}", flush=True)
-sf._OSS_ROW_UNROLL = 8
-sf._RESAMPLE_PALLAS = True
-variants[8, "rsmp"] = jax.jit(
-    lambda x: sf.sart_fast_convert(x, SIEMENS_FBP, nstart=10, ntv=0,
-                                   nsubsets=40))
-t0 = time.time()
-try:
-    out = jax.block_until_ready(variants[8, "rsmp"](pj0))
-    print(f"compile ru=8 resample=pallas: {time.time()-t0:.1f}s "
-          f"sum={float(jnp.sum(out)):.6g}", flush=True)
-except Exception as e:
-    print(f"resample=pallas FAILED: {type(e).__name__}: {str(e)[:300]}",
-          flush=True)
-    del variants[8, "rsmp"]
-sf._RESAMPLE_PALLAS = False
 sf._OSS_ROW_UNROLL = 1
 
 

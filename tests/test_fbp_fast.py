@@ -89,90 +89,3 @@ def test_bp_kernel_batched_matches_v1():
                                                   row_unroll=4))
     np.testing.assert_allclose(got4, got, rtol=1e-6, atol=1e-6)
 
-
-def test_rebin_pallas_branch_matches_gather_branch(setup, monkeypatch):
-    """_rebin's Pallas wiring (pad/transpose around rebin_view_lerp) ==
-    the XLA flat-gather branch on the small geometry (interpret mode)."""
-    import ipdm_tpu.recon.fbp_fast as ff
-
-    g, _, proj = setup
-    p = ff._plan_for(g)
-    pj = jnp.asarray(np.stack([proj, proj * 0.5]))[:, :, ::-1]
-    want = np.asarray(ff._rebin(pj, p))
-    monkeypatch.setattr(ff, "_use_pallas", lambda n: True)
-    got = np.asarray(ff._rebin(pj, p))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
-
-
-def test_rebin_view_lerp_kernel_matches_gather():
-    """The Pallas circular view-shift lerp == the flat-gather formula
-    (interpret mode), including the wrap via the doubled view axis."""
-    from ipdm_tpu.ops.pallas.shift import rebin_view_lerp
-
-    rng = np.random.RandomState(0)
-    Nt, B, M = 13, 2, 96
-    W2 = -(-(2 * M + 1) // 128) * 128
-    G = rng.rand(B, Nt, M).astype(np.float32)
-    vi = rng.randint(0, M, Nt).astype(np.int32)
-    vf = rng.rand(Nt).astype(np.float32)
-
-    Gpad = np.concatenate([G, G], axis=2)                   # [B, Nt, 2M]
-    want = np.empty((B, Nt, M), np.float32)
-    for j in range(Nt):
-        for k in range(M):
-            a = Gpad[:, j, vi[j] + k]
-            b = Gpad[:, j, vi[j] + k + 1]
-            want[:, j, k] = (1 - vf[j]) * a + vf[j] * b
-
-    G2 = np.pad(np.swapaxes(Gpad, 0, 1), ((0, 0), (0, 0), (0, W2 - 2 * M)))
-    got = np.asarray(rebin_view_lerp(jnp.asarray(G2), jnp.asarray(vi),
-                                     jnp.asarray(vf), M, interpret=True))
-    np.testing.assert_allclose(np.swapaxes(got, 0, 1), want,
-                               rtol=1e-6, atol=1e-6)
-
-
-def test_affine_resample_lerp_matches_gather():
-    """The banded one-hot-matmul resample kernel == the two-tap gather
-    formula (interpret mode), ascending and descending monotone indices,
-    including edge-clipped runs."""
-    from ipdm_tpu.ops.pallas.shift import affine_resample_lerp
-
-    rng = np.random.RandomState(2)
-    V, B, Nt, Lp = 5, 3, 200, 256
-    Ntp = -(-(Nt + 384) // 128) * 128
-    P = np.zeros((V, B, Ntp), np.float32)
-    P[:, :, :Nt + 1] = rng.rand(V, B, Nt + 1)   # qi0+1 may reach Nt
-    qi0 = np.empty((V, Lp), np.int64)
-    qf = rng.rand(V, Lp).astype(np.float32)
-    for v in range(V):
-        step = rng.uniform(0.5, 1.0)
-        sgn = 1 if v % 2 == 0 else -1
-        start = rng.uniform(-20, 40)
-        pos = start + sgn * step * np.arange(Lp)
-        qi0[v] = np.clip(np.floor(pos).astype(np.int64), 0, Nt - 1)
-    want = np.empty((V, B, Lp), np.float32)
-    for v in range(V):
-        want[v] = ((1 - qf[v]) * P[v][:, qi0[v]]
-                   + qf[v] * P[v][:, qi0[v] + 1])
-    got = np.asarray(affine_resample_lerp(
-        jnp.asarray(P), jnp.asarray(qi0.astype(np.int32)),
-        jnp.asarray(qf), interpret=True))
-    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
-
-
-def test_prep_pallas_branch_matches_gather_branch(setup, monkeypatch):
-    """_prep_group's Pallas resample branch == the XLA gather branch on
-    the small geometry (interpret mode), plus full-convert parity."""
-    import ipdm_tpu.recon.fbp_fast as ff
-
-    g, _, proj = setup
-    p = ff._plan_for(g)
-    Mf = g.M // 2
-    xd = np.nonzero(p.group_xdrive[:Mf])[0]
-    rng = np.random.RandomState(3)
-    Pf = jnp.asarray(rng.rand(2, Mf, p.Nt).astype(np.float32))
-    want = [np.asarray(a) for a in ff._prep_group(Pf, p, xd, True)]
-    monkeypatch.setattr(ff, "_PREP_PALLAS", True)
-    got = [np.asarray(a) for a in ff._prep_group(Pf, p, xd, True)]
-    for a, b in zip(got, want):
-        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

@@ -266,63 +266,3 @@ def test_sart_convert_under_outer_jit(setup):
     y3 = np.asarray(sart_fast_convert(pj, g, nstart=2, nsubsets=6))
     np.testing.assert_allclose(y1, y3, rtol=1e-5, atol=1e-6)
 
-
-def test_inverse_rebin_pallas_matches_gather(monkeypatch):
-    """_inverse_rebin's Pallas branch (rebin_view_lerp wiring) == the XLA
-    flat-gather branch (interpret mode)."""
-    import ipdm_tpu.recon.sart_fast as sf
-    from ipdm_tpu.recon.fbp import FBPGeometry
-    from ipdm_tpu.recon.fbp_fast import _plan_for
-
-    g = FBPGeometry(n_det=32, n_views=24, grid_n=16, grid_l=21.0)
-    p = _plan_for(g)
-    rng = np.random.RandomState(5)
-    par = jnp.asarray(rng.rand(2, 24, p.Nt).astype(np.float32))
-    monkeypatch.setattr(sf, "_INV_REBIN_PALLAS", False)
-    want = np.asarray(sf._inverse_rebin(par, p, 32, -0.016, 0.001))
-    monkeypatch.setattr(sf, "_INV_REBIN_PALLAS", True)
-    got = np.asarray(sf._inverse_rebin(par, p, 32, -0.016, 0.001))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
-
-
-def test_resample_to_fine_pallas_matches_gather(monkeypatch):
-    """_resample_to_fine's Pallas branch (m-order kernel + layout
-    transpose) == the take_along_axis branch (interpret mode)."""
-    import jax.numpy as jnp
-
-    import ipdm_tpu.recon.sart_fast as sf
-    from ipdm_tpu.recon.fbp import FBPGeometry
-
-    g = FBPGeometry(n_det=32, n_views=24, grid_n=16, grid_l=21.0)
-    sp = sf._splan_for(g, 3)
-    rng = np.random.RandomState(9)
-    R = jnp.asarray(rng.rand(2, len(sp.view_ids), sp.p.Nt)
-                    .astype(np.float32))
-    for s in range(sp.nsubsets):
-        for grp in sp.groups[s]:
-            if grp.V == 0:
-                continue
-            KL = grp.K * grp.Lq   # beyond KL the flat pad is don't-care
-            monkeypatch.setattr(sf, "_RESAMPLE_PALLAS", False)
-            want = np.asarray(sp._resample_to_fine(R, grp))[..., :KL]
-            monkeypatch.setattr(sf, "_RESAMPLE_PALLAS", True)
-            got = np.asarray(sp._resample_to_fine(R, grp))[..., :KL]
-            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
-
-
-def test_sart_convert_resample_pallas_end_to_end(monkeypatch):
-    """Full sart_fast_convert parity: Pallas resample branch vs gather
-    branch (the flat-pad don't-care zone must be masked downstream)."""
-    import jax.numpy as jnp
-
-    import ipdm_tpu.recon.sart_fast as sf
-    from ipdm_tpu.recon.fbp import FBPGeometry
-
-    g = FBPGeometry(n_det=32, n_views=24, grid_n=16, grid_l=21.0)
-    rng = np.random.RandomState(11)
-    pj = jnp.asarray(rng.rand(2, 24, 32).astype(np.float32))
-    monkeypatch.setattr(sf, "_RESAMPLE_PALLAS", False)
-    want = np.asarray(sf.sart_fast_convert(pj, g, nstart=2, nsubsets=3))
-    monkeypatch.setattr(sf, "_RESAMPLE_PALLAS", True)
-    got = np.asarray(sf.sart_fast_convert(pj, g, nstart=2, nsubsets=3))
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-6)

@@ -321,59 +321,6 @@ def test_vpu_unroll_planar_conv_matches_einsum():
         um.VPU_UNROLL_MAX = old
 
 
-def test_wpack_conv_matches_plain_conv():
-    """The W-packed stride-P lowering for Co ∈ {16,32,64} NHWC convs ==
-    the plain 3×3 lax.conv (exact reparametrization, see unet.WPAIR_N64)."""
-    import ipdm_tpu.models.unet as um
-    from ipdm_tpu.models.unet import Conv3x3
-
-    rng = jax.random.PRNGKey(1)
-    old = um.WPAIR_N64
-    try:
-        # covers both the lax.conv (cin>32) and packed-im2col (cin≤32)
-        # routes, every P ∈ {2,4,8}
-        for cin, cout in [(64, 64), (128, 64), (144, 16), (48, 32),
-                          (16, 16), (1, 64), (8, 32)]:
-            x = jnp.asarray(np.random.default_rng(1).standard_normal(
-                (2, 12, 16, cin)), jnp.float32)
-            m = Conv3x3(cout)
-            p = m.init(rng, x)
-            um.WPAIR_N64 = True
-            a = m.apply(p, x)
-            um.WPAIR_N64 = False
-            b = m.apply(p, x)
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-5, atol=1e-4)
-    finally:
-        um.WPAIR_N64 = old
-
-
-def test_planar_conv_kernel_matches_einsum_lowering():
-    """ops.pallas.planar_conv.planar_conv3x3 (single-pass kernel) == the
-    nine-einsum planar lowering of Conv3x3 (interpret mode)."""
-    import ipdm_tpu.models.unet as um
-    from ipdm_tpu.models.unet import Conv3x3
-    from ipdm_tpu.ops.pallas.planar_conv import planar_conv3x3
-
-    rng = jax.random.PRNGKey(2)
-    old = um.VPU_UNROLL_MAX
-    try:
-        um.VPU_UNROLL_MAX = 0   # force the einsum reference path
-        for B, C, O, H, W in [(2, 16, 16, 20, 30), (1, 4, 8, 9, 130),
-                              (1, 8, 16, 16, 456)]:
-            x = jnp.asarray(np.random.default_rng(3).standard_normal(
-                (B, C, H, W)), jnp.float32)
-            m = Conv3x3(O)
-            p = m.init(rng, x, planar=True)
-            want = np.asarray(m.apply(p, x, planar=True))
-            got = np.asarray(planar_conv3x3(
-                x, p["params"]["kernel"], p["params"]["bias"],
-                interpret=True))
-            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-    finally:
-        um.VPU_UNROLL_MAX = old
-
-
 def test_param_pack_roundtrip_and_apply():
     """pack_params/unpack_params is the identity, and a jitted apply on
     the packed single-buffer argument matches the pytree apply."""
