@@ -241,8 +241,59 @@ def fused_probe_and_iters(model_fn: Callable, gd: GaussianDiffusion,
     noise-strength readback between probe and rest): dispatching the probe
     and the rest separately costs a full param-tree marshal per program
     through the device transport. Bit-identical to the split path — the
-    rng splits mirror guided_reverse_process's order exactly."""
+    rng splits mirror guided_reverse_process's order exactly.
+
+    When every iteration (probe included) has the same ts and states are
+    not kept, the whole process lowers to ONE lax.scan whose body holds a
+    single UNet instance: iteration 0 selects the cosine-λ source, computes
+    the residual λ-map (lax.cond), and restarts the carry from the clean
+    condition — the traced program shrinks ~2× (one iteration body instead
+    of probe + rest), which cuts XLA compile time and the executable fetch
+    through the relay (docs/PERF.md). Same math, same rng split order: the
+    scan consumes one split per iteration exactly like fused_iters, and
+    iteration 0 substitutes the pre-split probe key."""
     rng, k_probe = jax.random.split(rng)
+    if (_ITER_SCAN and not rspec.save_states
+            and rspec.lambda_kind == "map" and len(rspec.ts_list) >= 1
+            and set(rspec.ts_list) == {pspec.ts}):
+        rng, k_rest = jax.random.split(rng)
+        ts = int(pspec.ts)
+        n_total = 1 + len(rspec.ts_list)
+        H, W = x0.shape[1], x0.shape[2]
+        cos_table = jnp.asarray(
+            cosine_beta_schedule(ts, schedule_power=pspec.lambda_ratio),
+            dtype=jnp.float32)
+        zero_delt = jnp.zeros_like(avg_pool(x0, pspec.kernel_size))
+
+        def body(carry, idx):
+            x_in, g, delt, r = carry
+            is_probe = idx == 0
+            r2, k = jax.random.split(r)
+            k_use = jnp.where(is_probe, k_probe, k)
+
+            def lam_fn(i):
+                lam_map = nearest_upsample(
+                    condition_lambda_map(delt, i, ts), (H, W))
+                return jnp.where(is_probe, cos_table[i], lam_map)
+
+            x = _one_iteration(model_fn, gd, ts, rspec.mode, rspec.clip,
+                               lam_fn, x_in, g, k_use)
+            delt2 = jax.lax.cond(
+                is_probe,
+                lambda: _compute_delt(x, x0, pspec.mode, pspec.kernel_size,
+                                      pspec.amplitude, pspec.curve)[0],
+                lambda: delt)
+            # probe restart (model.py:629-630): iteration 1 starts from the
+            # clean condition with guidance = clean condition
+            x_carry = jnp.where(is_probe, x0, x)
+            g_next = jnp.where(is_probe, x0,
+                               _guidance_update(rspec, x, x0, ldct))
+            r_out = jnp.where(is_probe, r, r2)
+            return (x_carry, g_next, delt2, r_out), x
+
+        _, ys = jax.lax.scan(body, (x0, x0, zero_delt, k_rest),
+                             jnp.arange(n_total))
+        return ys[0], [ys[i] for i in range(1, n_total)]
     probe_x, delt_map, _ = fused_probe(model_fn, gd, pspec, x0, k_probe)
     rng, k_rest = jax.random.split(rng)
     out = fused_iters(model_fn, gd, rspec, x0, x0, x0, delt_map, ldct,

@@ -581,6 +581,187 @@ def os_sart_sweep(x: jnp.ndarray, rf: jnp.ndarray, inv2: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Fused OS-SART sweep, MXU variant: per-block tap matrices
+# ---------------------------------------------------------------------------
+#
+# os_sart_sweep's inner loops issue ~2 sequential VPU ops per (view, image
+# row, tap) — ~2M ops/sweep at the ~100 ns op-sequencing floor. This variant
+# exploits the AFFINE structure of the offsets: on a Kf=1 fine grid (ray
+# spacing = the view's per-row t advance) the deposit/read start s(y) is
+# monotone with |Δs| ≤ 1 per row, so any 128-row block spans ≤ 128 fine bins.
+# Both projector halves then become dense matmuls against a per-(view, block)
+# two-hot tap matrix O[y, k] = (1−f_y)·δ(k = s_y − base) + f_y·δ(k+1 = ...):
+#
+#   FP  : M = Oᵀ @ x_rows   ([256, R] @ [R, n]) deposited at the aligned
+#         base into the 128-residue plane scratch (k < 128 → plane k at
+#         base; k ≥ 128 → plane k−128 at base+128), realigned by the
+#         standard 128-roll combine;
+#   BP  : Y = O @ [table[base : base+n]; table[base+128 : base+128+n]]
+#         ([R, 256] @ [256, n]) accumulated into the image rows.
+#
+# The O matrices are built in-kernel from [R]-vector slices of VMEM tables
+# (iota compares — no SMEM scalar loops); roll tables/combines stack G views
+# per op to amortize the sequencing floor. The dense matmul pays a ~256×
+# FLOP inflation over the two real taps, but rides the MXU instead of the
+# VPU sequencing floor — measured net win (docs/PERF.md).
+
+
+def _oss_mm_kernel(s0_ref, lam_ref, ov_ref, fv_ref, rf_ref, inv2_ref,
+                   nrmi_ref, x0_ref, x_ref, T, planes, *, G=2, bf16=False):
+    Vp, B, L = T.shape
+    n = x_ref.shape[-1]
+    R = 128 if n % 128 == 0 else (64 if n % 64 == 0 else n)
+    nblk = n // R
+    ngrp = Vp // G
+    lam = lam_ref[0, 0]
+    zf = lam * 0.0  # traced zero (see _bp2_kernel)
+    mdt = jnp.bfloat16 if bf16 else jnp.float32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        x_ref[...] = x0_ref[...]
+
+    def block_O(vi, blk):
+        """Transposed two-hot tap matrix Oᵀ[k, y] ([256, R]) for (view vi,
+        row block blk), plus the 128-aligned window base and row start.
+        Views sit on the SUBLANE dim of the [1, Vp, n] VMEM tables (dynamic
+        sublane offsets are legal; lane-dim starts carry a multiple_of
+        proof). All loops around this are lax.fori_loops — the Mosaic
+        program contains each block body once (the fully unrolled form
+        took >20 min to compile)."""
+        y0 = pl.multiple_of(blk * R, R)
+        sa = s0_ref[0, vi, y0]
+        sb = s0_ref[0, vi, y0 + R - 1]
+        base = pl.multiple_of((jnp.minimum(sa, sb) // 128) * 128, 128)
+        # the start table rides in VMEM as f32 [S, Vp, 1, n] (no dynamic
+        # int32 vector loads in Mosaic, and the view index must sit on an
+        # UNTILED leading dim — dynamic sublane offsets are unsupported);
+        # starts ≤ L ≲ 2¹² are exact in f32, so float equality is safe
+        ov = ov_ref[0, pl.ds(vi, 1), 0, pl.ds(y0, R)]       # [1, R] f32
+        fv = fv_ref[0, pl.ds(vi, 1), 0, pl.ds(y0, R)]       # [1, R] f32
+        rem = ov - base.astype(jnp.float32)
+        iota = jax.lax.broadcasted_iota(
+            jnp.int32, (256, R), 0).astype(jnp.float32)
+        OT = (jnp.where(iota == rem, 1.0 - fv, 0.0)
+              + jnp.where(iota == rem + 1.0, fv, 0.0))
+        return OT.astype(mdt), base, y0
+
+    # ---- FP: per G-view group, block matmuls into the residue planes ----
+    def fp_group(gidx, _):
+        planes[...] = jnp.broadcast_to(zf, planes.shape).astype(planes.dtype)
+
+        def fp_block(i, _):
+            gi = i // nblk
+            OT, base, y0 = block_O(gidx * G + gi, i % nblk)
+            for b in range(B):  # static unroll (small)
+                Xb = x_ref[b, pl.ds(y0, R), :].astype(mdt)       # [R, n]
+                M = jax.lax.dot_general(
+                    OT, Xb, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)          # [256, n]
+                cur = planes[:, pl.ds(gi, 1), b, pl.ds(base, n)]
+                planes[:, pl.ds(gi, 1), b, pl.ds(base, n)] = (
+                    cur + M[:128][:, None, :])
+                cur = planes[:, pl.ds(gi, 1), b, pl.ds(base + 128, n)]
+                planes[:, pl.ds(gi, 1), b, pl.ds(base + 128, n)] = (
+                    cur + M[128:][:, None, :])
+            return 0
+
+        jax.lax.fori_loop(0, G * nblk, fp_block, 0)
+
+        def comb_body(k, acc):
+            pk = planes[pl.ds(k, 1)][0]                          # [G, B, L]
+            return acc + pltpu.roll(pk, shift=k, axis=2)
+
+        z0 = jnp.broadcast_to(zf, (G, B, L)).astype(T.dtype)
+        T[pl.ds(gidx * G, G)] = jax.lax.fori_loop(0, 128, comb_body, z0)
+        return 0
+
+    jax.lax.fori_loop(0, ngrp, fp_group, 0)
+
+    # ---- correction (elementwise, pre-masked tables) --------------------
+    T[...] = rf_ref[0] - T[...] * inv2_ref[0][:, None, :]
+
+    # ---- BP: G-view roll tables, block matmuls into the image rows ------
+    def bp_group(gidx, _):
+        sigG = T[pl.ds(gidx * G, G)]                             # [G, B, L]
+
+        def roll_body(k, _):
+            planes[pl.ds(k, 1)] = pltpu.roll(
+                sigG, shift=L - k, axis=2)[None]
+            return 0
+
+        jax.lax.fori_loop(0, 128, roll_body, 0)
+
+        def bp_block(i, _):
+            gi = i // nblk
+            OT, base, y0 = block_O(gidx * G + gi, i % nblk)
+            W1 = planes[:, pl.ds(gi, 1), :, pl.ds(base, n)][:, 0]
+            W2 = planes[:, pl.ds(gi, 1), :, pl.ds(base + 128, n)][:, 0]
+            g = lam * nrmi_ref[0, pl.ds(y0, R), :]               # [R, n]
+            for b in range(B):  # static unroll (small)
+                Win = jnp.concatenate([W1[:, b, :], W2[:, b, :]],
+                                      axis=0).astype(mdt)        # [256, n]
+                Y = jax.lax.dot_general(
+                    OT, Win, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)          # [R, n]
+                cur = x_ref[b, pl.ds(y0, R), :]
+                x_ref[b, pl.ds(y0, R), :] = cur + g * Y
+            return 0
+
+        jax.lax.fori_loop(0, G * nblk, bp_block, 0)
+        return 0
+
+    jax.lax.fori_loop(0, ngrp, bp_group, 0)
+
+    # ---- nonnegativity clamp (reference update_kernel) ------------------
+    x_ref[...] = jnp.maximum(x_ref[...], zf)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "G", "bf16"))
+def os_sart_sweep_mm(x: jnp.ndarray, rf: jnp.ndarray, inv2: jnp.ndarray,
+                     frac: jnp.ndarray, s0: jnp.ndarray,
+                     nrmi: jnp.ndarray, lam: jnp.ndarray,
+                     interpret: bool = False, G: int = 2,
+                     bf16: bool = False) -> jnp.ndarray:
+    """One OS-SART sweep over a drive's subsets — MXU tap-matrix variant.
+
+    Same contract as os_sart_sweep, with the REQUIREMENT that the plan was
+    built on a Kf=1 fine grid (per-view flat starts monotone, |Δs| ≤ 1 per
+    image row — any R-row block spans ≤ R ≤ 128 bins past its aligned base).
+    s0/frac: [S, Vp, n] (s0 rides in BOTH SMEM — scalar base reads — and
+    VMEM — vector tap-matrix builds). The s1 table is implicit (s0 + 1).
+    """
+    S, Vp, B, L = rf.shape
+    n = x.shape[-1]
+    assert L % 128 == 0
+    while Vp % G:
+        G -= 1
+    lam2 = jnp.reshape(jnp.asarray(lam, x.dtype), (1, 1))
+    return pl.pallas_call(
+        functools.partial(_oss_mm_kernel, G=G, bf16=bf16),
+        grid=(S,),
+        in_specs=[
+            pl.BlockSpec((1, Vp, n), lambda s: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda s: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Vp, 1, n), lambda s: (s, 0, 0, 0)),
+            pl.BlockSpec((1, Vp, 1, n), lambda s: (s, 0, 0, 0)),
+            pl.BlockSpec((1, Vp, B, L), lambda s: (s, 0, 0, 0)),
+            pl.BlockSpec((1, Vp, L), lambda s: (s, 0, 0)),
+            pl.BlockSpec((1, n, n), lambda s: (s, 0, 0)),
+            pl.BlockSpec((B, n, n), lambda s: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, n, n), lambda s: (0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, n, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((Vp, B, L), x.dtype),
+                        pltpu.VMEM((128, G, B, L), x.dtype)],
+        interpret=interpret or not _on_tpu(),
+    )(s0, lam2, s0.astype(jnp.float32)[:, :, None, :],
+      frac[:, :, None, :], rf, inv2, nrmi, x)
+
+
+# ---------------------------------------------------------------------------
 # FP: deposit rows into per-view signals at per-row offsets
 # ---------------------------------------------------------------------------
 

@@ -63,7 +63,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ipdm_tpu.ops.pallas.shift import (VB, bp_shift_accumulate_batched,
-                                       fp_plane_deposit, os_sart_sweep)
+                                       fp_plane_deposit, os_sart_sweep,
+                                       os_sart_sweep_mm)
 from ipdm_tpu.recon.fbp import FBPGeometry
 from ipdm_tpu.recon.fbp_fast import _FastPlan, _plan_for, _rebin
 from ipdm_tpu.recon.sart import nsl0_tv_grad
@@ -71,6 +72,11 @@ from ipdm_tpu.recon.sart import nsl0_tv_grad
 # static row-unroll factor for the fused sweep kernel's row loops
 # (trace-time, A/B probes)
 _OSS_ROW_UNROLL = 1
+
+# default the MXU tap-matrix sweep kernel on (IPDM_SART_MM=0 falls back to
+# the per-row VPU sweep kernel for A/B)
+import os as _os
+_MM_DEFAULT = _os.environ.get("IPDM_SART_MM", "1") != "0"
 
 
 def _round_up(x: int, m: int) -> int:
@@ -189,10 +195,15 @@ class _Group:
 
 
 class _SartFastPlan:
-    """Static tables for one (geometry, nsubsets, view subset)."""
+    """Static tables for one (geometry, nsubsets, view subset).
+
+    kf overrides the fine-grid refinement: the default ceil(dp_pix/dt)
+    keeps the fine ray spacing ≤ 1 t-bin; kf=1 sets it to the per-view row
+    advance (≈ pixel pitch) — the grid the MXU sweep kernel requires (flat
+    starts monotone with |Δs| ≤ 1 per row; see os_sart_sweep_mm)."""
 
     def __init__(self, g: FBPGeometry, nsubsets: int,
-                 view_ids: np.ndarray = None):
+                 view_ids: np.ndarray = None, kf: int = None):
         self.g = g
         self.p = _plan_for(g, oversample=1.0)
         p = self.p
@@ -204,7 +215,7 @@ class _SartFastPlan:
             nsubsets -= 1
         self.nsubsets = nsubsets
         self.sub_size = nv // nsubsets
-        self.Kf = max(1, int(math.ceil(p.dp_pix / p.dt)))
+        self.Kf = int(kf) if kf else max(1, int(math.ceil(p.dp_pix / p.dt)))
         self.Kq = self.Kf
         order = np.arange(nv).reshape(self.sub_size, nsubsets).T
         self.order = order
@@ -354,14 +365,14 @@ _SPLANS = {}
 
 
 def _splan_for(g: FBPGeometry, nsubsets: int, fold: bool = False,
-               sample_rate: int = 1) -> _SartFastPlan:
+               sample_rate: int = 1, kf: int = None) -> _SartFastPlan:
     k = (g.N, g.M, g.grid_n, g.grid_l, g.D, g.da, nsubsets, fold,
-         sample_rate)
+         sample_rate, kf)
     if k not in _SPLANS:
         ids = np.arange(g.M // 2 if fold else g.M)
         if sample_rate > 1:
             ids = ids[::sample_rate]
-        _SPLANS[k] = _SartFastPlan(g, nsubsets, view_ids=ids)
+        _SPLANS[k] = _SartFastPlan(g, nsubsets, view_ids=ids, kf=kf)
     return _SPLANS[k]
 
 
@@ -473,10 +484,12 @@ def _compute_norms_fused(sp: _SartFastPlan):
     return (nt_full, per_drive)
 
 
-@partial(jax.jit, static_argnames=("sp", "nstart", "ntv", "fp_roll"))
+@partial(jax.jit, static_argnames=("sp", "nstart", "ntv", "fp_roll", "mm",
+                                   "mm_bf16"))
 def _sart_iterate_fused(sp: _SartFastPlan, par: jnp.ndarray, norms,
                         nstart: int, ntv: int,
-                        fp_roll: bool = False) -> jnp.ndarray:
+                        fp_roll: bool = False, mm: bool = False,
+                        mm_bf16: bool = False) -> jnp.ndarray:
     """OS-SART via the fused drive-blocked sweep kernel: per sweep, ONE
     os_sart_sweep launch per drive axis (grid over that drive's subsets)
     instead of ~4 thunks per (subset, branch) — the unfused loop's ~0.5 ms
@@ -506,21 +519,23 @@ def _sart_iterate_fused(sp: _SartFastPlan, par: jnp.ndarray, norms,
     x0 = jnp.zeros((B, n, n), jnp.float32)
     tv_grad_b = jax.vmap(nsl0_tv_grad, in_axes=(0, None))
 
+    def drive_sweep(x, key, lam):
+        d = per_drive[key]
+        if mm:
+            return os_sart_sweep_mm(x, rf[key], d["inv2"], d["frac"],
+                                    d["s0"], d["nrmi"], lam, bf16=mm_bf16)
+        return os_sart_sweep(x, rf[key], d["inv2"], d["frac"], d["s0"],
+                             d["s1"], d["nrmi"], lam, fp_roll=fp_roll,
+                             row_unroll=_OSS_ROW_UNROLL)
+
     def sweep(carry, it):
         x, lam, alpha, sigma = carry
         x_back = x
         if sp.gx_all.V:
-            d = per_drive["x"]
-            x = os_sart_sweep(x, rf["x"], d["inv2"], d["frac"], d["s0"],
-                              d["s1"], d["nrmi"], lam, fp_roll=fp_roll,
-                              row_unroll=_OSS_ROW_UNROLL)
+            x = drive_sweep(x, "x", lam)
         if sp.gy_all.V:
-            d = per_drive["y"]
-            xt = jnp.swapaxes(x, 1, 2)
-            xt = os_sart_sweep(xt, rf["y"], d["inv2"], d["frac"], d["s0"],
-                               d["s1"], d["nrmi"], lam, fp_roll=fp_roll,
-                               row_unroll=_OSS_ROW_UNROLL)
-            x = jnp.swapaxes(xt, 1, 2)
+            x = jnp.swapaxes(drive_sweep(jnp.swapaxes(x, 1, 2), "y", lam),
+                             1, 2)
         dp = jnp.sqrt(jnp.sum((x - x_back) ** 2, axis=(1, 2)))  # [B]
         x_res = x
         sigma = jnp.maximum(sigma * 0.90, 0.1)
@@ -619,19 +634,26 @@ def _sart_iterate(sp: _SartFastPlan, par: jnp.ndarray, norms,
 def sart_fast_convert(pj: jnp.ndarray, g: FBPGeometry, nstart: int = 10,
                       ntv: int = 0, nsubsets: int = 40,
                       sample_rate: int = 1, fold: bool = True,
-                      fused: bool = True,
-                      fp_roll: bool = False) -> jnp.ndarray:
+                      fused: bool = True, fp_roll: bool = False,
+                      mm: bool = None,
+                      mm_bf16: bool = False) -> jnp.ndarray:
     """[B, na, nr] fan sinograms → [B, n, n] images in fbp_convert
     orientation. Drop-in fast ART for the Convertor (reference semantics:
     recons_torch nstart sweeps, ntv TV steps, sample_rate view subsampling
     — TASART2DNSL0_PyAPI.cpp:33-57, re-derived in folded rebinned-parallel
     geometry with Pallas projectors). The whole batch reconstructs in one
     jitted scan; `fused=True` runs the drive-blocked fused sweep kernel
-    (os_sart_sweep), `fused=False` the unfused per-subset kernel chain."""
+    (os_sart_sweep), `fused=False` the unfused per-subset kernel chain.
+    `mm=True` (default, env IPDM_SART_MM=0 disables) uses the MXU
+    tap-matrix sweep kernel on a Kf=1 fine grid (os_sart_sweep_mm)."""
     sample_rate = int(sample_rate)
     fold = bool(fold) and g.M % 2 == 0
     fused = bool(fused)
-    sp = _splan_for(g, nsubsets, fold=fold, sample_rate=sample_rate)
+    if mm is None:
+        mm = fused and _MM_DEFAULT
+    mm = bool(mm) and fused
+    sp = _splan_for(g, nsubsets, fold=fold, sample_rate=sample_rate,
+                    kf=1 if mm else None)
     norms = _norms_for(sp, fused=fused)
     pj = pj[:, :, ::-1]                      # detector flip (fbp convention)
     par = _rebin(pj, sp.p)                   # [B, M, Nt]
@@ -642,7 +664,8 @@ def sart_fast_convert(pj: jnp.ndarray, g: FBPGeometry, nstart: int = 10,
         par = par[:, ::sample_rate]
     if fused:
         img = _sart_iterate_fused(sp, par, norms, int(nstart), int(ntv),
-                                  fp_roll=bool(fp_roll))
+                                  fp_roll=bool(fp_roll), mm=mm,
+                                  mm_bf16=bool(mm_bf16))
     else:
         img = _sart_iterate(sp, par, norms, int(nstart), int(ntv))
     return img[:, :, ::-1]                   # x flip (fbp convention)

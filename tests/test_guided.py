@@ -149,6 +149,42 @@ def test_save_states_returns_trajectory(gd):
     assert states[1].shape == (2, 1, 16, 16, 1)
 
 
+def test_merged_probe_scan_matches_split(gd):
+    """The single-scan lowering of fused_probe_and_iters (uniform ts — the
+    flagship preset's static schedule) must match the split probe +
+    unrolled-iterations path: same rng split order, same λ sources, same
+    probe-restart semantics."""
+    from ipdm_tpu.diffusion import guided
+    from ipdm_tpu.diffusion.guided import (ProbeSpec, RestSpec,
+                                           fused_probe_and_iters)
+
+    x = jax.random.uniform(jax.random.PRNGKey(3), (1, 16, 16, 1)) * 4
+    ldct = jax.random.uniform(jax.random.PRNGKey(4), (1, 16, 16, 1))
+    for mode, clip, curve in (("proj", False, proj_curve_init()),
+                              ("img", True, curve_init())):
+        pspec = ProbeSpec(ts=3, mode=mode, clip=clip, lambda_ratio=1.0,
+                          kernel_size=4, amplitude=7.0, curve=curve)
+        rspec = RestSpec(ts_list=(3, 3), mode=mode, clip=clip, eta=0.5,
+                         lambda_kind="map", has_ldct=mode == "img")
+        raw = fused_probe_and_iters.__wrapped__
+        old = guided._ITER_SCAN
+        try:
+            guided._ITER_SCAN = True
+            pa, resta = raw(_identity_noise_model, gd, pspec, rspec, x,
+                            ldct, jax.random.PRNGKey(7))
+            guided._ITER_SCAN = False
+            pb, restb = raw(_identity_noise_model, gd, pspec, rspec, x,
+                            ldct, jax.random.PRNGKey(7))
+        finally:
+            guided._ITER_SCAN = old
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-6)
+        assert len(resta) == len(restb) == 2
+        for ai, bi in zip(resta, restb):
+            np.testing.assert_allclose(np.asarray(ai), np.asarray(bi),
+                                       rtol=1e-5, atol=1e-6)
+
+
 def test_iter_scan_matches_unrolled(gd):
     """The scan-over-iterations lowering of fused_iters (uniform ts_list)
     must be bit-identical to the unrolled path, both λ kinds."""

@@ -157,6 +157,72 @@ def test_os_sart_sweep_semantics(fp_roll):
     np.testing.assert_allclose(got, x, rtol=2e-4, atol=2e-4)
 
 
+def test_os_sart_sweep_mm_semantics():
+    """The MXU tap-matrix sweep kernel == the naive two-tap FP→corr→BP→
+    update loop (interpret mode on CPU), on tables honouring its contract
+    (per-view monotone starts, |Δs| ≤ 1 per row — the Kf=1 fine grid)."""
+    from ipdm_tpu.ops.pallas.shift import os_sart_sweep_mm
+    rng = np.random.RandomState(0)
+    S, Vp, B, n, L = 3, 8, 2, 64, 512
+    lam = 0.3
+    x0 = rng.rand(B, n, n).astype(np.float32)
+    rf = rng.rand(S, Vp, B, L).astype(np.float32)
+    inv2 = rng.rand(S, Vp, L).astype(np.float32)
+    s0 = np.zeros((S, Vp, n), np.int32)
+    frac = rng.rand(S, Vp, n).astype(np.float32)
+    for s in range(S):
+        for v in range(Vp):
+            start = rng.randint(0, L - n - 130)
+            sgn = 1 if rng.rand() > 0.5 else -1
+            steps = (rng.rand(n - 1) < rng.rand()).astype(np.int64) * sgn
+            seq = np.clip(start + np.concatenate([[0], np.cumsum(steps)]),
+                          0, L - n - 130)
+            s0[s, v] = seq
+    nrmi = rng.rand(S, n, n).astype(np.float32)
+    got = np.asarray(os_sart_sweep_mm(
+        jnp.asarray(x0), jnp.asarray(rf), jnp.asarray(inv2),
+        jnp.asarray(frac), jnp.asarray(s0),
+        jnp.asarray(nrmi), jnp.float32(lam), interpret=True))
+    x = x0.copy()
+    for s in range(S):
+        T = np.zeros((Vp, B, L), np.float32)
+        for v in range(Vp):
+            for y in range(n):
+                row = x[:, y, :]
+                a = s0[s, v, y]
+                T[v, :, a:a + n] += (1 - frac[s, v, y]) * row
+                T[v, :, a + 1:a + 1 + n] += frac[s, v, y] * row
+        corr = rf[s] - T * inv2[s][:, None, :]
+        for v in range(Vp):
+            for y in range(n):
+                a = s0[s, v, y]
+                acc = ((1 - frac[s, v, y]) * corr[v, :, a:a + n]
+                       + frac[s, v, y] * corr[v, :, a + 1:a + 1 + n])
+                x[:, y, :] += lam * nrmi[s, y, :][None] * acc
+        x = np.maximum(x, 0.0)
+    np.testing.assert_allclose(got, x, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_mm_sweep_matches_fused(setup):
+    """The MXU tap-matrix sweep (Kf=1 fine grid) reconstructs the same
+    image as the incumbent per-row sweep kernel, and still recovers the
+    phantom at the exact path's convergence rate."""
+    fan, g, ph, proj = setup
+    pj = jnp.asarray(proj[None])
+    old = np.asarray(sart_fast_convert(pj, g, nstart=8, nsubsets=18,
+                                       mm=False))[0]
+    new = np.asarray(sart_fast_convert(pj, g, nstart=8, nsubsets=18,
+                                       mm=True))[0]
+    c = 4
+    assert _psnr(old[c:-c, c:-c], new[c:-c, c:-c]) > 25.0
+    p = _psnr(ph.T[c:-c, c:-c], new[c:-c, c:-c])
+    assert p > 17.0, f"mm phantom PSNR {p}"
+    scale = np.sum(new[c:-c, c:-c] * old[c:-c, c:-c]) / \
+        np.sum(old[c:-c, c:-c] ** 2)
+    assert abs(scale - 1.0) < 0.05, f"scale {scale}"
+
+
 def test_fp_plane_deposit_semantics():
     """The plane-deposit FP kernel (v2) == the naive two-tap deposit loop
     (interpret mode on CPU), including the batch dim riding inside."""
@@ -189,7 +255,7 @@ def test_fused_sweep_matches_unfused(setup):
     a = np.asarray(sart_fast_convert(pj, g, nstart=4, nsubsets=18,
                                      fused=False))[0]
     b = np.asarray(sart_fast_convert(pj, g, nstart=4, nsubsets=18,
-                                     fused=True))[0]
+                                     fused=True, mm=False))[0]
     c = 4
     p = _psnr(a[c:-c, c:-c], b[c:-c, c:-c])
     assert p > 35.0, f"fused-vs-unfused PSNR {p}"
