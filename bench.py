@@ -132,21 +132,26 @@ def main():
 
     gd_img = GaussianDiffusion(1000, "cosine")
     gd_proj = GaussianDiffusion(1000, "cosine")
+    # params are ARGUMENTS of the jitted programs, never closed over:
+    # closing over the concrete trees embeds them as executable constants —
+    # measured +~300 MB on the serialized executables, and the fetch
+    # through the relay makes program size a warmup cost (docs/PERF.md)
     if "--pack" in sys.argv:
         # single-buffer params: relay dispatch cost scales with the
-        # program's argument/captured leaf count (~250 per UNet tree);
-        # packed, each closure marshals 1-2 buffers instead
+        # program's argument leaf count (~250 per UNet tree); packed, each
+        # program marshals 1-2 buffers instead
         from ipdm_tpu.utils.param_pack import pack_params, unpack_params
-        img_pk, img_spec = pack_params(img_params)
-        proj_pk, proj_spec = pack_params(proj_params)
-        img_fn = lambda x, t: img_model.apply(
-            unpack_params(img_pk, img_spec), x, t)
-        proj_fn = lambda x, t: proj_model.apply(
-            unpack_params(proj_pk, proj_spec), x, t)
+        img_p, img_spec = pack_params(img_params)
+        proj_p, proj_spec = pack_params(proj_params)
+        img_apply = lambda p, x, t: img_model.apply(
+            unpack_params(p, img_spec), x, t)
+        proj_apply = lambda p, x, t: proj_model.apply(
+            unpack_params(p, proj_spec), x, t)
         log("params packed into single buffers")
     else:
-        img_fn = lambda x, t: img_model.apply(img_params, x, t)
-        proj_fn = lambda x, t: proj_model.apply(proj_params, x, t)
+        img_p, proj_p = img_params, proj_params
+        img_apply = lambda p, x, t: img_model.apply(p, x, t)
+        proj_apply = lambda p, x, t: proj_model.apply(p, x, t)
     proj_curve = proj_curve_init()
 
     # --- synthetic inputs -------------------------------------------------
@@ -166,13 +171,32 @@ def main():
         def convert(stacked):
             return fbp_convert(stacked, SIEMENS_FBP)
 
-    # The slice runs as ONE jitted program end-to-end in BOTH modes: the
-    # flagship preset gives a static t_start list, so the per-pixel-λ probe
-    # needs no host readback (guided.fused_probe_and_iters) and the whole
-    # proj stage → convert → img stage → ultra pass chain traces into a
-    # single device program. Identical math/work to the per-phase path.
-    @jax.jit
-    def tail(rng, proj_iters_in, ld_img):
+    # The slice runs as at most TWO device programs: the proj stage and the
+    # tail (convert → img stage → ultra). The flagship preset gives a
+    # static t_start list, so the per-pixel-λ probe needs no host readback
+    # (guided.fused_probe_and_iters). --mono fuses both into one program
+    # instead — measured marginally SLOWER (6.21 vs 6.06 s/slice) and its
+    # single executable is larger; the split is the default.
+    split = "--mono" not in sys.argv
+
+    def proj_stage(pp, rng, ld_proj):
+        fn = lambda x, t: proj_apply(pp, x, t)
+        if art_mode:
+            # per-pixel λ after a cosine-λ probe (constant_guidance_proj
+            # = None in the preset, static t_start → fully traceable)
+            iters, _, _ = guided_reverse_process(
+                fn, gd_proj, ld_proj, rng, t_start=[15, 15, 15],
+                clip=False, eta=0.5, mode="proj", constant_guidance=None,
+                lambda_ratio=1, lambda_curve=proj_curve, kernel_size=4,
+                amplitude=7)
+        else:
+            iters, _, _ = guided_reverse_process(
+                fn, gd_proj, ld_proj, rng, t_start=[15, 15, 15],
+                clip=False, eta=0.4, mode="proj", constant_guidance=0.5)
+        return tuple(iters)
+
+    def tail(ip, rng, proj_iters_in, ld_img):
+        fn = lambda x, t: img_apply(ip, x, t)
         stacked = jnp.concatenate([p[..., 0] for p in proj_iters_in], axis=0)
         imgs = convert(stacked)
         x = imgs[-nbatch:][..., None]   # last kept iteration of each slice
@@ -181,45 +205,36 @@ def main():
         # image stage: 3 × 15 reverse steps, constant λ (preset: 0.45)
         rng, k = jax.random.split(rng)
         img_iters, _, _ = guided_reverse_process(
-            img_fn, gd_img, x, k, t_start=[15, 15, 15],
+            fn, gd_img, x, k, t_start=[15, 15, 15],
             clip=True, eta=0.7, mode="img", constant_guidance=0.45,
             ldct=ld_img)
         if art_mode:
             # ultra pass (reference default ultra_img_denoise=True)
             rng, k = jax.random.split(rng)
             ultra, _, _ = guided_reverse_process(
-                img_fn, gd_img, img_iters[-1], k, t_start=[5, 5, 5],
+                fn, gd_img, img_iters[-1], k, t_start=[5, 5, 5],
                 clip=True, eta=0.6, mode="img", constant_guidance=0.6,
                 ldct=ld_img)
             return ultra[-1]
         return img_iters[-1]
 
-    if art_mode:
-        @jax.jit
-        def run_one(rng, ld_proj, ld_img):
-            rng, k = jax.random.split(rng)
-            # per-pixel λ after a cosine-λ probe (constant_guidance_proj
-            # = None in the preset, static t_start → fully traceable)
-            iters, _, _ = guided_reverse_process(
-                proj_fn, gd_proj, ld_proj, k, t_start=[15, 15, 15],
-                clip=False, eta=0.5, mode="proj", constant_guidance=None,
-                lambda_ratio=1, lambda_curve=proj_curve, kernel_size=4,
-                amplitude=7)
-            return tail(rng, iters, ld_img)
+    if split:
+        proj_jit = jax.jit(proj_stage)
+        tail_jit = jax.jit(tail)
 
         def run_slice(seed):
-            return run_one(jax.random.PRNGKey(seed), ld_proj, ld_img)
+            rng, k = jax.random.split(jax.random.PRNGKey(seed))
+            iters = proj_jit(proj_p, k, ld_proj)
+            return tail_jit(img_p, rng, iters, ld_img)
     else:
         @jax.jit
-        def run_one(rng, ld_proj, ld_img):
+        def run_one(pp, ip, rng, ld_proj, ld_img):
             rng, k = jax.random.split(rng)
-            iters, _, _ = guided_reverse_process(
-                proj_fn, gd_proj, ld_proj, k, t_start=[15, 15, 15],
-                clip=False, eta=0.4, mode="proj", constant_guidance=0.5)
-            return tail(rng, iters, ld_img)
+            return tail(ip, rng, proj_stage(pp, k, ld_proj), ld_img)
 
         def run_slice(seed):
-            return run_one(jax.random.PRNGKey(seed), ld_proj, ld_img)
+            return run_one(proj_p, img_p, jax.random.PRNGKey(seed),
+                           ld_proj, ld_img)
 
     # --- warmup (compile) -------------------------------------------------
     t0 = time.time()

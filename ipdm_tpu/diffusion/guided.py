@@ -102,6 +102,66 @@ class RestSpec(NamedTuple):
     save_states: bool = False
 
 
+# --- params threading -------------------------------------------------------
+# model_fn may be (a) a plain callable (x, t) -> eps closing over its params,
+# or (b) a PAIR (apply_fn, params) with apply_fn(params, x, t) -> eps. Form
+# (b) threads the params through the jitted entry points as TRACED arguments;
+# form (a) bakes whatever the closure holds into the program as constants —
+# measured +~300 MB on the serialized flagship executables (params embedded
+# in the binary), which the relay's executable fetch turns into warmup time
+# (docs/PERF.md). The engine and bench use form (b); plain callables keep
+# working for tests/experiments.
+
+import weakref
+
+_NOPARAM_CACHE = weakref.WeakValueDictionary()
+
+
+class ModelApply:
+    """Hashable apply_fn for form (b): equal for equal model definitions.
+
+    flax Modules compare/hash structurally, so two engine (or test)
+    instances built around identical architectures produce EQUAL ModelApply
+    objects — the guided samplers' jit caches then share one trace instead
+    of recompiling per instance. Use as
+    ``guided_reverse_process((ModelApply(model), params), ...)``."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def __call__(self, params, x, t):
+        return self.model.apply(params, x, t)
+
+    def __eq__(self, other):
+        return isinstance(other, ModelApply) and self.model == other.model
+
+    def __hash__(self):
+        return hash((type(self), self.model))
+
+
+class _NoParamApply:
+    """Stable (apply_fn, ()) wrapper for closed-over model_fns: identity is
+    cached per model_fn so jit's static-argument cache keys stay stable."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def __call__(self, params, x, t):
+        return self.fn(x, t)
+
+
+def _split_model_fn(model_fn):
+    """Normalize to (apply_fn(params, x, t) static, params pytree traced)."""
+    if isinstance(model_fn, tuple):
+        apply_fn, params = model_fn
+        return apply_fn, params
+    wrapped = _NOPARAM_CACHE.get(id(model_fn))
+    if wrapped is None or wrapped.fn is not model_fn:
+        wrapped = _NoParamApply(model_fn)
+        _NOPARAM_CACHE[id(model_fn)] = wrapped
+    return wrapped, ()
+
+
 def _one_iteration(model_fn, gd, ts: int, mode: str, clip: bool,
                    lam_fn, x, guidance, rng, save_states: bool = False):
     """q_sample to ts, reverse-scan to 0, post-clamp - one outer iteration,
@@ -132,14 +192,17 @@ def _one_iteration(model_fn, gd, ts: int, mode: str, clip: bool,
 
 @partial(jax.jit, static_argnames=("model_fn", "gd", "spec"))
 def fused_probe(model_fn: Callable, gd: GaussianDiffusion, spec: ProbeSpec,
-                x0: jnp.ndarray, rng) -> Tuple[jnp.ndarray, jnp.ndarray,
-                                               jnp.ndarray]:
+                params, x0: jnp.ndarray, rng) -> Tuple[jnp.ndarray,
+                                                       jnp.ndarray,
+                                                       jnp.ndarray]:
     """Iter-0 probe: cosine-lambda guided pass + residual lambda-map, one
-    dispatch. Returns (probe_result, delt_map, delt_max)."""
+    dispatch. Returns (probe_result, delt_map, delt_max). model_fn is the
+    params-explicit apply (see _split_model_fn); params are traced."""
+    fn = lambda x, t: model_fn(params, x, t)
     cos_table = jnp.asarray(
         cosine_beta_schedule(spec.ts, schedule_power=spec.lambda_ratio),
         dtype=jnp.float32)
-    x = _one_iteration(model_fn, gd, spec.ts, spec.mode, spec.clip,
+    x = _one_iteration(fn, gd, spec.ts, spec.mode, spec.clip,
                        lambda i: cos_table[i], x0, x0, rng)
     delt, dmax = _compute_delt(x, x0, spec.mode, spec.kernel_size,
                                spec.amplitude, spec.curve)
@@ -171,13 +234,16 @@ def _guidance_update(spec: RestSpec, x, x0, ldct):
 
 @partial(jax.jit, static_argnames=("model_fn", "gd", "spec"))
 def fused_iters(model_fn: Callable, gd: GaussianDiffusion, spec: RestSpec,
-                x_init: jnp.ndarray, x0: jnp.ndarray, guidance: jnp.ndarray,
+                params, x_init: jnp.ndarray, x0: jnp.ndarray,
+                guidance: jnp.ndarray,
                 delt_map: jnp.ndarray, ldct: jnp.ndarray, rng
                 ) -> List[jnp.ndarray]:
     """All remaining outer iterations in ONE dispatch (a lax.scan over the
     iterations when ts_list is uniform, else unrolled; each iteration is
     itself a lax.scan over timesteps). Mirrors the reference
-    guidance-update schedule (model.py:622-635)."""
+    guidance-update schedule (model.py:622-635). model_fn is the
+    params-explicit apply; params are traced."""
+    model_fn = (lambda mf: lambda x, t: mf(params, x, t))(model_fn)
     n_it = len(spec.ts_list)
     if (_ITER_SCAN and n_it > 1 and len(set(spec.ts_list)) == 1
             and not spec.save_states):
@@ -233,7 +299,7 @@ def fused_iters(model_fn: Callable, gd: GaussianDiffusion, spec: RestSpec,
 
 @partial(jax.jit, static_argnames=("model_fn", "gd", "pspec", "rspec"))
 def fused_probe_and_iters(model_fn: Callable, gd: GaussianDiffusion,
-                          pspec: ProbeSpec, rspec: RestSpec,
+                          pspec: ProbeSpec, rspec: RestSpec, params,
                           x0: jnp.ndarray, ldct: jnp.ndarray, rng):
     """Probe + λ-map + all remaining iterations in ONE device program.
 
@@ -253,6 +319,7 @@ def fused_probe_and_iters(model_fn: Callable, gd: GaussianDiffusion,
     scan consumes one split per iteration exactly like fused_iters, and
     iteration 0 substitutes the pre-split probe key."""
     rng, k_probe = jax.random.split(rng)
+    fn = (lambda mf: lambda x, t: mf(params, x, t))(model_fn)
     if (_ITER_SCAN and not rspec.save_states
             and rspec.lambda_kind == "map" and len(rspec.ts_list) >= 1
             and set(rspec.ts_list) == {pspec.ts}):
@@ -276,7 +343,7 @@ def fused_probe_and_iters(model_fn: Callable, gd: GaussianDiffusion,
                     condition_lambda_map(delt, i, ts), (H, W))
                 return jnp.where(is_probe, cos_table[i], lam_map)
 
-            x = _one_iteration(model_fn, gd, ts, rspec.mode, rspec.clip,
+            x = _one_iteration(fn, gd, ts, rspec.mode, rspec.clip,
                                lam_fn, x_in, g, k_use)
             delt2 = jax.lax.cond(
                 is_probe,
@@ -294,10 +361,11 @@ def fused_probe_and_iters(model_fn: Callable, gd: GaussianDiffusion,
         _, ys = jax.lax.scan(body, (x0, x0, zero_delt, k_rest),
                              jnp.arange(n_total))
         return ys[0], [ys[i] for i in range(1, n_total)]
-    probe_x, delt_map, _ = fused_probe(model_fn, gd, pspec, x0, k_probe)
+    probe_x, delt_map, _ = fused_probe(model_fn, gd, pspec, params, x0,
+                                       k_probe)
     rng, k_rest = jax.random.split(rng)
-    out = fused_iters(model_fn, gd, rspec, x0, x0, x0, delt_map, ldct,
-                      k_rest)
+    out = fused_iters(model_fn, gd, rspec, params, x0, x0, x0, delt_map,
+                      ldct, k_rest)
     return probe_x, out
 
 
@@ -327,6 +395,7 @@ def guided_reverse_process(model_fn: Callable, gd: GaussianDiffusion,
     """
     if only_convertor:
         return [img], None, None
+    model_fn, params = _split_model_fn(model_fn)
     adaptive = t_start is None
     out_noise_strength = None
     zero_delt = jnp.zeros_like(avg_pool(img, kernel_size))
@@ -341,7 +410,7 @@ def guided_reverse_process(model_fn: Callable, gd: GaussianDiffusion,
                         constant_guidance=float(constant_guidance),
                         has_ldct=ldct is not None,
                         save_states=bool(save_states))
-        out = fused_iters(model_fn, gd, spec, img, img, img,
+        out = fused_iters(model_fn, gd, spec, params, img, img, img,
                           zero_delt, ldct_arr, k)
         img_iters, img_reverse = out if save_states else (out, None)
     else:
@@ -360,15 +429,15 @@ def guided_reverse_process(model_fn: Callable, gd: GaussianDiffusion,
                             has_ldct=ldct is not None,
                             save_states=bool(save_states))
             probe_x, out = fused_probe_and_iters(model_fn, gd, pspec, spec,
-                                                 img, ldct_arr, rng)
+                                                 params, img, ldct_arr, rng)
             rest, img_reverse = out if save_states else (out, None)
             img_iters = [probe_x] + rest
             if len(img_iters) > 1:
                 img_iters.append((img_iters[-1] + img_iters[-2]) / 2)
             return img_iters, img_reverse, out_noise_strength
         rng, k_probe = jax.random.split(rng)
-        probe_x, delt_map, dmax = fused_probe(model_fn, gd, pspec, img,
-                                              k_probe)
+        probe_x, delt_map, dmax = fused_probe(model_fn, gd, pspec, params,
+                                              img, k_probe)
         if mode == "img":
             sched, eta, _ls = _IMG_ADAPTIVE[noise_strength]
         else:
@@ -390,8 +459,8 @@ def guided_reverse_process(model_fn: Callable, gd: GaussianDiffusion,
         # iteration 1 onward)
         img_reverse = None
         if sched:
-            out = fused_iters(model_fn, gd, spec, img, img, img, delt_map,
-                              ldct_arr, k_rest)
+            out = fused_iters(model_fn, gd, spec, params, img, img, img,
+                              delt_map, ldct_arr, k_rest)
             rest, img_reverse = out if save_states else (out, None)
         else:
             rest = []
@@ -414,12 +483,14 @@ def guided_reverse_process(model_fn: Callable, gd: GaussianDiffusion,
          static_argnames=("model_fn", "gd", "t_start", "ddim_timesteps",
                           "clip_denoised"))
 def ddim_sample(model_fn: Callable, gd: GaussianDiffusion,
-                sample_img: jnp.ndarray, condition: jnp.ndarray,
+                params, sample_img: jnp.ndarray, condition: jnp.ndarray,
                 t_start: int, condition_lambda, rng,
                 ddim_timesteps: int = 2, ddim_eta: float = 0.0,
                 clip_denoised: bool = True) -> jnp.ndarray:
     """Conditioned DDIM over a uniform sub-sequence of t_start steps
-    (reference model.py:655-724, 'uniform' discretisation)."""
+    (reference model.py:655-724, 'uniform' discretisation). model_fn is
+    the params-explicit apply (see _split_model_fn); params are traced."""
+    model_fn = (lambda mf: lambda x, t: mf(params, x, t))(model_fn)
     seq = np.linspace(t_start - 1, 0, ddim_timesteps + 1).astype(int)[:-1]
     prev_seq = np.append(seq[1:], 0)
     B = sample_img.shape[0]
@@ -462,6 +533,7 @@ def sparse_guided_reverse_process(model_fn: Callable, gd: GaussianDiffusion,
                                   clip_denoised: bool = True
                                   ) -> List[jnp.ndarray]:
     """Iterated DDIM with a linear λ ramp (reference model.py:727-759)."""
+    model_fn, params = _split_model_fn(model_fn)
     B = condition.shape[0]
     rng, k = jax.random.split(rng)
     noise = jax.random.normal(k, condition.shape, condition.dtype)
@@ -476,7 +548,7 @@ def sparse_guided_reverse_process(model_fn: Callable, gd: GaussianDiffusion,
     result = []
     for i, t in enumerate(t_start):
         rng, k = jax.random.split(rng)
-        sample_img = ddim_sample(model_fn, gd, sample_img, condition,
+        sample_img = ddim_sample(model_fn, gd, params, sample_img, condition,
                                  int(t), float(lambdas[i]), k,
                                  ddim_timesteps=int(ddim_timesteps[i]),
                                  ddim_eta=float(ddim_eta),

@@ -387,15 +387,33 @@ def _norms_for(sp: _SartFastPlan, fused: bool = False):
     """Precompute the static normalization tables (see _compute_norms /
     _compute_norms_fused).
 
-    The cache must only ever hold CONCRETE arrays: when first called from
-    inside an outer jit trace, caching would store tracers and leak them
-    into later calls (UnexpectedTracerError). Inside a trace we recompute —
-    the norm math simply becomes part of the traced program."""
+    The tables are always CONCRETE arrays: when first requested from inside
+    an outer jit trace, the norm math runs under ensure_compile_time_eval
+    (eager at trace time) instead of being traced into the caller's
+    program. Tracing it in both re-executed the norms every call AND blew
+    the caller's executable up ~60× — the bench's whole-slice program
+    carried the traced per-subset norm pipeline (measured 686 MB vs ~10 MB
+    for the same convert with concrete norms; the executable fetch through
+    the relay made that a warmup cost, docs/PERF.md). Concrete tables are
+    hoisted by jit as runtime parameters, not embedded constants."""
     if fused in sp._norms:
         return sp._norms[fused]
-    norms = _compute_norms_fused(sp) if fused else _compute_norms(sp)
+
+    def compute():
+        return _compute_norms_fused(sp) if fused else _compute_norms(sp)
+
     if _trace_clean():
-        sp._norms[fused] = norms
+        norms = compute()
+    else:
+        # JAX trace state is thread-local: a worker thread sees no ambient
+        # trace, so the norm pipeline executes eagerly on device at trace
+        # time. (ensure_compile_time_eval can't be used here — the Pallas
+        # kernels' fori_loop literal bounds become captured eval-context
+        # tracers.)
+        import concurrent.futures
+        with concurrent.futures.ThreadPoolExecutor(1) as ex:
+            norms = ex.submit(compute).result()
+    sp._norms[fused] = norms
     return norms
 
 

@@ -167,13 +167,14 @@ def test_merged_probe_scan_matches_split(gd):
         rspec = RestSpec(ts_list=(3, 3), mode=mode, clip=clip, eta=0.5,
                          lambda_kind="map", has_ldct=mode == "img")
         raw = fused_probe_and_iters.__wrapped__
+        apply_fn, params = guided._split_model_fn(_identity_noise_model)
         old = guided._ITER_SCAN
         try:
             guided._ITER_SCAN = True
-            pa, resta = raw(_identity_noise_model, gd, pspec, rspec, x,
+            pa, resta = raw(apply_fn, gd, pspec, rspec, params, x,
                             ldct, jax.random.PRNGKey(7))
             guided._ITER_SCAN = False
-            pb, restb = raw(_identity_noise_model, gd, pspec, rspec, x,
+            pb, restb = raw(apply_fn, gd, pspec, rspec, params, x,
                             ldct, jax.random.PRNGKey(7))
         finally:
             guided._ITER_SCAN = old
@@ -206,14 +207,15 @@ def test_iter_scan_matches_unrolled(gd):
     # use the unjitted function: the jit cache keys on (model_fn, gd, spec)
     # only, so flipping the module flag would otherwise hit the cached trace
     raw = fused_iters.__wrapped__
+    apply_fn, params = guided._split_model_fn(_identity_noise_model)
     for spec in specs:
         old = guided._ITER_SCAN
         try:
             guided._ITER_SCAN = True
-            a = raw(_identity_noise_model, gd, spec, x, x, x,
+            a = raw(apply_fn, gd, spec, params, x, x, x,
                     delt, ldct, jax.random.PRNGKey(7))
             guided._ITER_SCAN = False
-            b = raw(_identity_noise_model, gd, spec, x, x, x,
+            b = raw(apply_fn, gd, spec, params, x, x, x,
                     delt, ldct, jax.random.PRNGKey(7))
         finally:
             guided._ITER_SCAN = old
