@@ -100,6 +100,22 @@ class GaussianDiffusion:
         self.schedule_power = schedule_power
         self.tables = make_tables(timesteps, beta_schedule, schedule_power)
 
+    # Structural equality/hash: GaussianDiffusion rides the guided samplers
+    # as a STATIC jit argument. With the default identity hash every engine
+    # (or test) instance would key its own trace of every sampler program;
+    # value-hashing lets instances with identical schedules share traces —
+    # same reason flax Modules compare structurally.
+    def _key(self):
+        return (type(self), self.timesteps, self.beta_schedule,
+                self.schedule_power)
+
+    def __eq__(self, other):
+        return (isinstance(other, GaussianDiffusion)
+                and self._key() == other._key())
+
+    def __hash__(self):
+        return hash(self._key())
+
     # -- forward process ----------------------------------------------------
 
     def q_sample(self, x_start, t, noise):

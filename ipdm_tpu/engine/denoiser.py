@@ -41,7 +41,7 @@ from ipdm_tpu.data.dataset import SiemensDatasetNpz
 from ipdm_tpu.data.sampler import DataLoader, RandomSampler
 from ipdm_tpu.data.units import miu2pixel
 from ipdm_tpu.diffusion.diffusion import GaussianDiffusion
-from ipdm_tpu.diffusion.guided import (guided_reverse_process,
+from ipdm_tpu.diffusion.guided import (ModelApply, guided_reverse_process,
                                        sparse_guided_reverse_process)
 from ipdm_tpu.diffusion.normalize import (yeo_johnson_inverse_transform,
                                           yeo_johnson_transform)
@@ -363,22 +363,19 @@ class ProgressiveDomainDenoiser:
             self.ckpt.save("optimizer", epoch, self.train_state.opt_state)
 
     # -- model fns ----------------------------------------------------------
-    # Cached per params object: the guided samplers jit with model_fn static,
-    # so handing out a fresh lambda per call would bust the jit cache.
+    # (apply_fn, params) pairs: the guided samplers jit with apply_fn static
+    # and thread params through as traced arguments (see
+    # guided._split_model_fn). The apply lambda is cached per MODEL (stable
+    # across param updates), so retraining/reloading never retraces — and
+    # params never bake into the executable as constants (closing over them
+    # measured +~300 MB on the serialized flagship programs, which the
+    # relay's executable fetch turns into warmup time; docs/PERF.md).
 
     def _proj_fn(self):
-        if getattr(self, "_proj_fn_params", None) is not self.proj_params:
-            params, model = self.proj_params, self.proj_model
-            self._proj_fn_cache = lambda x, t: model.apply(params, x, t)
-            self._proj_fn_params = params
-        return self._proj_fn_cache
+        return (ModelApply(self.proj_model), self.proj_params)
 
     def _img_fn(self):
-        if getattr(self, "_img_fn_params", None) is not self.img_params:
-            params, model = self.img_params, self.img_model
-            self._img_fn_cache = lambda x, t: model.apply(params, x, t)
-            self._img_fn_params = params
-        return self._img_fn_cache
+        return (ModelApply(self.img_model), self.img_params)
 
     # -- data ---------------------------------------------------------------
 

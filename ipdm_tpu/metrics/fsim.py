@@ -2,12 +2,16 @@
 luminance-only (chromatic=False), matching the conventions of the
 reference's piq.fsim call (Utils/train_test_utils.py:802).
 
-Pipeline: [0,255] scaling → F×F average-pool downsample
-(F = max(1, round(min(H,W)/256))) → phase congruency via Kovesi's phasecong2
-(4 log-Gabor scales × 4 orientations, minWaveLength 6, mult 2, σ_f 0.55,
-ΔθOnσ 1.2, noise threshold k=2 with the /1.7 fudge) + Scharr gradient
-magnitude → similarity pooling weighted by max phase congruency with
-T1 = 0.85, T2 = 160.
+Pipeline: [0,255] scaling → F×F non-overlapping average pooling
+(F = max(1, round(min(H,W)/256)), piq's avg_pool2d — NOT the MATLAB
+conv-'same'-then-[::F], whose window alignment differs by one pixel) →
+phase congruency via Kovesi's phasecong2 (4 log-Gabor scales × 4
+orientations, minWaveLength 6, mult 2, σ_f 0.55, ΔθOnσ 1.2, noise threshold
+k=2 with the /1.7 fudge, lower-median Rayleigh estimate per torch.median) +
+zero-padded Scharr gradient magnitude → similarity pooling weighted by max
+phase congruency with T1 = 0.85, T2 = 160. Cross-validated against an
+independent torch transliteration of the piq algorithm in
+tests/piq_oracle.py (tests/test_metric_parity.py).
 """
 
 from __future__ import annotations
@@ -17,11 +21,16 @@ from numpy.fft import fft2, ifft2, ifftshift
 from scipy.ndimage import convolve
 
 
+def _freq_grid(n: int) -> np.ndarray:
+    """Kovesi/piq frequency coordinates: odd sizes normalize by (n-1)."""
+    if n % 2:
+        return np.arange(-(n - 1) / 2, n / 2) / (n - 1)
+    return np.arange(-n / 2, n / 2) / n
+
+
 def _lowpass_filter(rows: int, cols: int, cutoff: float = 0.45,
                     n: int = 15) -> np.ndarray:
-    xr = (np.arange(cols) - cols // 2) / cols
-    yr = (np.arange(rows) - rows // 2) / rows
-    x, y = np.meshgrid(xr, yr)
+    x, y = np.meshgrid(_freq_grid(cols), _freq_grid(rows))
     radius = np.sqrt(x ** 2 + y ** 2)
     return ifftshift(1.0 / (1.0 + (radius / cutoff) ** (2 * n)))
 
@@ -34,9 +43,7 @@ def phase_congruency(im: np.ndarray, nscale: int = 4, norient: int = 4,
     rows, cols = im.shape
     imagefft = fft2(im)
 
-    xr = (np.arange(cols) - cols // 2) / cols
-    yr = (np.arange(rows) - rows // 2) / rows
-    x, y = np.meshgrid(xr, yr)
+    x, y = np.meshgrid(_freq_grid(cols), _freq_grid(rows))
     radius = ifftshift(np.sqrt(x ** 2 + y ** 2))
     theta = ifftshift(np.arctan2(-y, x))
     radius[0, 0] = 1.0
@@ -90,8 +97,11 @@ def phase_congruency(im: np.ndarray, nscale: int = 4, norient: int = 4,
             E, O = np.real(eo[s]), np.imag(eo[s])
             energy += E * mean_e + O * mean_o - np.abs(E * mean_o - O * mean_e)
 
-        # noise threshold (Rayleigh model on the smallest-scale response)
-        median_e2n = np.median(np.abs(eo[0]) ** 2)
+        # noise threshold (Rayleigh model on the smallest-scale response);
+        # LOWER median for even counts, matching torch.median in piq
+        flat_e2n = np.abs(eo[0].reshape(-1)) ** 2
+        median_e2n = np.partition(flat_e2n, (flat_e2n.size - 1) // 2)[
+            (flat_e2n.size - 1) // 2]
         mean_e2n = -median_e2n / np.log(0.5)
         noise_power = mean_e2n / em_n
         est_sum_an2 = np.zeros((rows, cols))
@@ -120,8 +130,9 @@ _SCHARR_X = np.array([[3, 0, -3], [10, 0, -10], [3, 0, -3]],
 
 
 def _gradient_magnitude(im: np.ndarray) -> np.ndarray:
-    gx = convolve(im, _SCHARR_X, mode="nearest")
-    gy = convolve(im, _SCHARR_X.T, mode="nearest")
+    # zero padding at the borders, matching piq's F.conv2d(padding=1)
+    gx = convolve(im, _SCHARR_X, mode="constant", cval=0.0)
+    gy = convolve(im, _SCHARR_X.T, mode="constant", cval=0.0)
     return np.sqrt(gx ** 2 + gy ** 2)
 
 
@@ -133,9 +144,10 @@ def fsim(x: np.ndarray, y: np.ndarray, data_range: float = 1.0,
     rows, cols = x.shape
     F = max(1, int(round(min(rows, cols) / 256)))
     if F > 1:
-        k = np.ones((F, F)) / (F * F)
-        x = convolve(x, k, mode="nearest")[::F, ::F]
-        y = convolve(y, k, mode="nearest")[::F, ::F]
+        # piq avg_pool2d: non-overlapping F×F block means, floor-truncated
+        rt, ct = (rows // F) * F, (cols // F) * F
+        x = x[:rt, :ct].reshape(rt // F, F, ct // F, F).mean(axis=(1, 3))
+        y = y[:rt, :ct].reshape(rt // F, F, ct // F, F).mean(axis=(1, 3))
 
     pc1 = phase_congruency(x)
     pc2 = phase_congruency(y)

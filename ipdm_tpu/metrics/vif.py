@@ -4,8 +4,10 @@ Replaces the reference's piq.vif_p call (Utils/train_test_utils.py:28,804)
 with a native implementation following the same conventions piq uses: inputs
 scaled to [0,255] by data_range, 4 scales with Gaussian kernels of size
 2^(5-s)+1 (σ = size/5), valid-mode convolutions, ×2 decimation between scales,
-GSM noise variance σ_n² = 2, and the standard zero-variance guards of the
-original MATLAB release.
+GSM noise variance σ_n² = 2, piq's EPS=1e-8 in the zero-variance guards, and
+piq's final (num+EPS)/(den+EPS) score. Cross-validated against an
+independent torch transliteration of the piq algorithm in
+tests/piq_oracle.py (tests/test_metric_parity.py).
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ def vif_p(x: np.ndarray, y: np.ndarray, data_range: float = 1.0,
     """VIF of distorted y against reference x."""
     x = np.asarray(x, np.float64) / data_range * 255.0
     y = np.asarray(y, np.float64) / data_range * 255.0
-    eps = 1e-10
+    eps = 1e-8  # piq's EPS
     num = 0.0
     den = 0.0
     for scale in range(1, 5):
@@ -64,4 +66,4 @@ def vif_p(x: np.ndarray, y: np.ndarray, data_range: float = 1.0,
         num += np.sum(np.log10(1.0 + g ** 2 * sigma_x_sq
                                / (sv_sq + sigma_n_sq)))
         den += np.sum(np.log10(1.0 + sigma_x_sq / sigma_n_sq))
-    return float(num / den)
+    return float((num + eps) / (den + eps))
