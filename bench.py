@@ -58,6 +58,27 @@ def _cache_entries():
         return 0
 
 
+def _cache_large_entries(min_bytes: int = 1 << 20):
+    """Names of comp-cache entries ≥ min_bytes. The HIT/MISS verdict only
+    tracks these: ~10 KB eager-op programs (squeeze/dynamic_slice/...)
+    get fresh cache keys every process and cost milliseconds to compile —
+    counting them made every run a false MISS. The expensive programs
+    (proj stage ~44 MB, tail ~67 MB) are what warmup actually pays for."""
+    d = os.path.expanduser("~/.cache/jax_comp_cache")
+    out = set()
+    try:
+        for root, _, fs in os.walk(d):
+            for f in fs:
+                try:
+                    if os.path.getsize(os.path.join(root, f)) >= min_bytes:
+                        out.add(f)
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return out
+
+
 def main():
     art_mode = True
     if "--convertor" in sys.argv:
@@ -86,6 +107,7 @@ def main():
     log(f"device: {dev.platform} {getattr(dev, 'device_kind', '?')} "
         f"mode: {'ART(flagship)' if art_mode else 'FBP'}")
     cache0 = _cache_entries()
+    large0 = _cache_large_entries()
 
     # relay-speed self-diagnostic: chained tiny-op dispatch latency varies
     # 0.5-44 ms/call across bench hosts (docs/PERF.md) and dominates
@@ -243,10 +265,11 @@ def main():
     #                        for every buffer type through the axon relay
     cache1 = _cache_entries()
     warmup_s = time.time() - t0
-    cache_hit = cache1 <= cache0
+    new_large = _cache_large_entries() - large0
+    cache_hit = not new_large
     log(f"warmup (compile): {warmup_s:.1f}s  "
-        f"[comp-cache entries {cache0} -> {cache1}: "
-        f"{'HIT' if cache_hit else 'MISS (compiled anew)'}]")
+        f"[comp-cache entries {cache0} -> {cache1}; large-program "
+        f"{'HIT' if cache_hit else 'MISS: ' + ', '.join(sorted(new_large))}]")
     if os.environ.get("IPDM_BENCH_REQUIRE_HIT") and not cache_hit:
         # priming guard: `IPDM_BENCH_REQUIRE_HIT=1 python bench.py` verifies
         # the cache was primed with EXACTLY the code/env the driver will run
