@@ -86,7 +86,15 @@ def _to_plain(tree: Any) -> Any:
 
 
 class CheckpointManager:
-    """`save_models/{name}-{epoch}` layout (loggerx.py:62-80)."""
+    """`save_models/{name}-{epoch}` layout (loggerx.py:62-80).
+
+    Multi-host: Orbax's save IS the rank gate — it is a COLLECTIVE
+    (every process must call it; internally only the shard owners write,
+    so replicated params are written once by process 0). An explicit
+    `if rank != 0: return` here deadlocks real multi-process runs on
+    orbax's sync_global_processes barrier — found by
+    scripts/multihost_dryrun.py; the reference's torch rank gating
+    (loggerx.py) does not transfer to orbax."""
 
     def __init__(self, models_save_dir: str, rank: int = 0):
         self.dir = models_save_dir
@@ -94,8 +102,6 @@ class CheckpointManager:
         os.makedirs(models_save_dir, exist_ok=True)
 
     def save(self, name: str, epoch: int, tree: Any) -> None:
-        if self.rank != 0:
-            return
         save_tree(osp.join(self.dir, f"{name}-{epoch}"), tree)
 
     def load(self, name: str, epoch: int, target: Optional[Any] = None,

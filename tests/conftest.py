@@ -25,6 +25,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache for the CPU test programs: the UNet
+# train-step compiles cost 300-900 s EACH on a 1-core box (XLA:CPU prints
+# its own "Very slow compile?" warning); with the cache, repeat runs of the
+# full/slow tier skip them entirely. First run on a fresh host still pays.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp_cache_cpu_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

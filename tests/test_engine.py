@@ -33,6 +33,9 @@ def _make_dataset(root, n=3, size=32):
 
 
 def _tiny_img_opt(tmp_path, mode, **kw):
+    # NOTE on sizing: counterintuitively, SHRINKING this model makes the
+    # suite slower — XLA:CPU compiled the 4-ch/(1,2) variant's train step
+    # in 916 s vs 382 s for this 8-ch/(1,1,2) one (1-core box, 2026-08-19)
     paths = _make_dataset(str(tmp_path / "data"))
     opt = IPDMConfig(
         mode=mode, run_name="t", batch_size=2, test_batch_size=1,
@@ -52,7 +55,12 @@ def _tiny_img_opt(tmp_path, mode, **kw):
     return opt
 
 
+@pytest.mark.slow
 def test_train_img_end_to_end(tmp_path):
+    # slow tier: XLA:CPU needs 300-900 s to compile ANY UNet fwd+bwd on a
+    # 1-core box (smaller UNets compile slower, measured 2026-08-19). The
+    # smoke tier proves the train-step math on a fast-compiling conv model
+    # (test_parallel.py) and the full fit-loop mechanics run here.
     opt = _tiny_img_opt(tmp_path, "train_img", test_numbers=0)
     eng = ProgressiveDomainDenoiser(opt, result_save_path=str(tmp_path / "o"))
     assert opt.max_iter == 3  # 3 slices · 2 epochs // batch 2

@@ -31,14 +31,49 @@ def test_make_mesh_shapes():
     assert m2.shape["view"] == jax.device_count() // 2
 
 
-def test_sharded_train_step_matches_single_device(small_model):
-    """DP-sharded step computes the same update as the unsharded step."""
-    model, gd = small_model
+class _ConvNet:
+    """Tiny pure-conv ε-model for the quick dp test: XLA:CPU compiles the
+    UNet's fwd+bwd in 400-900 s on a 1-core box (its own "Very slow
+    compile?" warning; measured 2026-08-19 — SMALLER UNets compile even
+    slower), so the smoke tier proves the dp-equality property on a model
+    that compiles in seconds; the UNet variant runs in the slow tier."""
+
+    def __init__(self):
+        import flax.linen as nn
+
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x, t):
+                temb = jnp.broadcast_to(
+                    t.astype(jnp.float32)[:, None, None, None] / 100.0,
+                    x.shape)
+                h = nn.Conv(8, (3, 3))(jnp.concatenate([x, temb], -1))
+                h = nn.silu(h)
+                h = nn.Conv(8, (3, 3))(h)
+                h = nn.silu(h)
+                return nn.Conv(x.shape[-1], (3, 3))(h)
+
+        self.net = Net()
+
+    def init(self, rng, x, t):
+        return self.net.init(rng, x, t)
+
+    def apply(self, p, x, t):
+        return self.net.apply(p, x, t)
+
+    def __eq__(self, other):
+        return isinstance(other, _ConvNet) and self.net == other.net
+
+    def __hash__(self):
+        return hash((type(self), self.net))
+
+
+def _dp_equality(model, gd, shape):
     tx = make_optimizer(1e-3)
     rng = jax.random.PRNGKey(0)
-    state, _ = init_train_state(model, rng, (1, 16, 16, 1), 1e-3)
-    state2, _ = init_train_state(model, rng, (1, 16, 16, 1), 1e-3)
-    images = np.random.default_rng(0).random((8, 16, 16, 1), np.float32)
+    state, _ = init_train_state(model, rng, (1,) + shape, 1e-3)
+    state2, _ = init_train_state(model, rng, (1,) + shape, 1e-3)
+    images = np.random.default_rng(0).random((8,) + shape, np.float32)
     k = jax.random.PRNGKey(1)
 
     plain = make_train_step(model, gd, tx, partial_timesteps=50)
@@ -56,6 +91,43 @@ def test_sharded_train_step_matches_single_device(small_model):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_sharded_train_step_matches_single_device_quick():
+    """DP-sharded step == unsharded step (smoke tier, conv model)."""
+    gd = GaussianDiffusion(timesteps=100, beta_schedule="cosine")
+    _dp_equality(_ConvNet(), gd, (16, 16, 1))
+
+
+@pytest.mark.slow
+def test_sharded_train_step_matches_single_device(small_model):
+    """DP-sharded step == unsharded step on the real UNet (slow tier —
+    see _ConvNet's docstring for why)."""
+    model, gd = small_model
+    _dp_equality(model, gd, (16, 16, 1))
+
+
+@pytest.mark.slow
+def test_multihost_dryrun_two_processes():
+    """Real jax.distributed over 2 local CPU processes: sampler shard
+    disjointness, dp step bit-identical across hosts, collective orbax
+    save (the rank-gated form deadlocks — this run is what found it),
+    rank-0 log gating. See scripts/multihost_dryrun.py."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(root, "scripts",
+                                      "multihost_dryrun.py")],
+        capture_output=True, text=True, timeout=600, cwd=root,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("XLA_FLAGS", "JAX_PLATFORMS")})
+    assert out.returncode == 0, out.stderr[-2000:]
+    verdict = json.loads(out.stdout.strip().splitlines()[-1])
+    assert verdict["ok"] and verdict["processes"] == 2
+
+
 def test_view_sharded_fbp_matches_unsharded():
     g = FBPGeometry(n_det=32, n_views=40, grid_n=16, grid_l=21.0)
     mesh = make_mesh([1, jax.device_count()], ("data", "view"))
@@ -65,6 +137,57 @@ def test_view_sharded_fbp_matches_unsharded():
     out = np.asarray(fbp(pj))
     ref = np.asarray(fbp_convert(pj, g, view_block=5))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_spatial_sharded_conv_halo_tight():
+    """A single 3×3 conv with the H axis sharded 8-way must match the
+    unsharded conv almost exactly (each device needs its neighbours' edge
+    rows — XLA's inserted halo exchange is what's under test). Tolerance is
+    per-op tight (1e-6), unlike the end-to-end UNet net below which must
+    absorb GN-reduction reordering."""
+    import flax.linen as nn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh([8, 1], ("data", "view"))
+    conv = nn.Conv(features=4, kernel_size=(3, 3), padding="SAME")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 64, 16, 4)), jnp.float32)
+    p = conv.init(jax.random.PRNGKey(1), x)
+    want = np.asarray(conv.apply(p, x))
+    sharded = jax.jit(conv.apply,
+                      in_shardings=(NamedSharding(mesh, P()),
+                                    NamedSharding(mesh, P(None, "data",
+                                                          None, None))),
+                      out_shardings=NamedSharding(mesh, P(None, "data",
+                                                          None, None)))
+    got = np.asarray(sharded(p, x))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_spatial_sharded_groupnorm_stats_tight():
+    """GroupNorm statistics reduce over the FULL spatial extent; with H
+    sharded the mean/var must come out of a psum over shards, not
+    shard-local stats. A missing collective gives O(1) error; allowed
+    slack only covers f32 reduction reordering."""
+    import flax.linen as nn
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh([8, 1], ("data", "view"))
+    gn = nn.GroupNorm(num_groups=2)
+    # strong per-row trend: shard-local stats would differ wildly per shard
+    base = np.random.default_rng(1).standard_normal((1, 64, 16, 4))
+    base += np.linspace(-3, 3, 64)[None, :, None, None]
+    x = jnp.asarray(base, jnp.float32)
+    p = gn.init(jax.random.PRNGKey(2), x)
+    want = np.asarray(gn.apply(p, x))
+    sharded = jax.jit(gn.apply,
+                      in_shardings=(NamedSharding(mesh, P()),
+                                    NamedSharding(mesh, P(None, "data",
+                                                          None, None))),
+                      out_shardings=NamedSharding(mesh, P(None, "data",
+                                                          None, None)))
+    got = np.asarray(sharded(p, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 def test_spatial_sharded_apply_matches_single_device():
