@@ -77,6 +77,14 @@ _OSS_ROW_UNROLL = 1
 # the per-row VPU sweep kernel for A/B)
 import os as _os
 _MM_DEFAULT = _os.environ.get("IPDM_SART_MM", "1") != "0"
+# views stacked per roll/realign op in the MM kernel (VMEM-bound: the
+# 128-residue plane scratch is [128, G, B, L] f32). Vpad is a multiple of
+# VB=8, so 2/4/8 are all legal; G=4 halves the per-sweep roll-op count vs
+# G=2 at ~2x the plane scratch. A/B on the round-3 bench host
+# (scripts/probe_sart_mm.py, B=3, nstart=10): G=2 435 ms/convert, G=4
+# 394 ms (131 ms/sinogram); hardware old-vs-mm check unchanged. G=8's
+# plane scratch (14 MB) exceeds the ~16 MB VMEM budget.
+_MM_G = int(_os.environ.get("IPDM_SART_MM_G", "4"))
 
 
 def _round_up(x: int, m: int) -> int:
@@ -541,7 +549,8 @@ def _sart_iterate_fused(sp: _SartFastPlan, par: jnp.ndarray, norms,
         d = per_drive[key]
         if mm:
             return os_sart_sweep_mm(x, rf[key], d["inv2"], d["frac"],
-                                    d["s0"], d["nrmi"], lam, bf16=mm_bf16)
+                                    d["s0"], d["nrmi"], lam, G=_MM_G,
+                                    bf16=mm_bf16)
         return os_sart_sweep(x, rf[key], d["inv2"], d["frac"], d["s0"],
                              d["s1"], d["nrmi"], lam, fp_roll=fp_roll,
                              row_unroll=_OSS_ROW_UNROLL)
