@@ -823,3 +823,76 @@ def fp_shift_deposit(rows: jnp.ndarray, s0: jnp.ndarray, s1: jnp.ndarray,
     )(s0, s1, w0, w1, rows)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Windowed multi-tap anterpolation (project_fast's fine→t-bin resample)
+#
+# _fp_group anterpolates each view's fine-grid ray sums T[v, :, m] onto the
+# t bins: out[v, :, d] = Σ_k w_k(v,d) · T[v, :, m0(v,d) + k], with m0 an
+# affine-monotone (per view, either direction) index table and Wt = 2·Kf+2
+# static taps. XLA lowers the data-dependent gather on the TPU scalar path
+# (~10 ns/element; measured 1.06 s for the 512² LDCT-sim projection). Here
+# the monotone structure turns each 128-output block into one aligned
+# window read + roll, Wt iota-compares building a banded [D, 128] tap
+# matrix, and a single MXU contraction — the same trick as the BP roll
+# table (docs/PERF.md), generalized to Wt weighted taps.
+
+_WTR_D = 288    # per-block source span bound: 128/step + taps; the Siemens
+#   rebinned geometry's min step is ≈0.49 (span ≈265), so D=288 covers
+#   every step ≥ 0.456
+_WTR_WIN = 512  # aligned window read size: 127 (max rem) + _WTR_D + slack
+
+
+def _wtr_kernel(qis_ref, qi_ref, w_ref, p_ref, out_ref, *, Wt):
+    _, B, Ntp = p_ref.shape
+    Lp = out_ref.shape[-1]
+    D = _WTR_D
+    for j in range(Lp // 128):
+        first = qis_ref[0, j * 128]
+        last = qis_ref[0, j * 128 + 127]
+        base = jnp.minimum(first, last)      # monotone either direction
+        a = pl.multiple_of((base // 128) * 128, 128)
+        rem = base - a
+        w = p_ref[0, :, pl.ds(a, _WTR_WIN)]                 # [B, WIN]
+        w2 = pltpu.roll(w, shift=_WTR_WIN - rem, axis=1)    # w2[:,i]=w[rem+i]
+        qi2 = qi_ref[0, pl.ds(j * 128, 128)] - base         # [128] in [0,D)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (D, 128), 0)
+        Wm = jnp.zeros((D, 128), jnp.float32)
+        for k in range(Wt):
+            ck = (iota == qi2[None, :] + k).astype(jnp.float32)
+            Wm = Wm + ck * w_ref[0, k * Lp + j * 128:k * Lp + (j + 1) * 128][None]
+        blk = jax.lax.dot_general(
+            w2[:, :D].astype(jnp.float32), Wm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)             # [B, 128]
+        out_ref[0, :, pl.ds(j * 128, 128)] = blk.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def anterp_taps(P: jnp.ndarray, qi0: jnp.ndarray, W: jnp.ndarray,
+                interpret: bool = False) -> jnp.ndarray:
+    """out[v, :, d] = Σ_k W[v, k, d] · P[v, :, qi0[v, d] + k].
+
+    P: [V, B, Ntp] source rows, zero-padded so Ntp % 128 == 0 and
+    Ntp ≥ max(qi0) + _WTR_WIN (window headroom). qi0: [V, Lp] int32 ≥ 0,
+    MONOTONE per view (either direction) with within-128-block span
+    < _WTR_D − Wt (callers check; step ≥ 0.85 guarantees it). W: [V, Wt, Lp]
+    f32 tap weights (zero where the tap is out of range). Lp % 128 == 0."""
+    V, B, Ntp = P.shape
+    Wt = W.shape[1]
+    Lp = qi0.shape[-1]
+    assert Ntp % 128 == 0 and Lp % 128 == 0
+    return pl.pallas_call(
+        functools.partial(_wtr_kernel, Wt=Wt),
+        grid=(V,),
+        in_specs=[
+            pl.BlockSpec((1, Lp), lambda v: (v, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, Lp), lambda v: (v, 0)),
+            pl.BlockSpec((1, Wt * Lp), lambda v: (v, 0)),
+            pl.BlockSpec((1, B, Ntp), lambda v: (v, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, B, Lp), lambda v: (v, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((V, B, Lp), P.dtype),
+        interpret=interpret or not _on_tpu(),
+    )(qi0, qi0, W.reshape(V, Wt * Lp), P)

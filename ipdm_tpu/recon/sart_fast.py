@@ -62,9 +62,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ipdm_tpu.ops.pallas.shift import (VB, bp_shift_accumulate_batched,
+from ipdm_tpu.ops.pallas.shift import (VB, anterp_taps,
+                                       bp_shift_accumulate_batched,
                                        fp_plane_deposit, os_sart_sweep,
                                        os_sart_sweep_mm)
+from ipdm_tpu.ops.pallas import shift as _shift
 from ipdm_tpu.recon.fbp import FBPGeometry
 from ipdm_tpu.recon.fbp_fast import _FastPlan, _plan_for, _rebin
 from ipdm_tpu.recon.sart import nsl0_tv_grad
@@ -85,6 +87,8 @@ _MM_DEFAULT = _os.environ.get("IPDM_SART_MM", "1") != "0"
 # 394 ms (131 ms/sinogram); hardware old-vs-mm check unchanged. G=8's
 # plane scratch (14 MB) exceeds the ~16 MB VMEM budget.
 _MM_G = int(_os.environ.get("IPDM_SART_MM_G", "4"))
+if _MM_G < 1:
+    raise ValueError(f"IPDM_SART_MM_G must be a positive int, got {_MM_G}")
 
 
 def _round_up(x: int, m: int) -> int:
@@ -310,8 +314,38 @@ class _SartFastPlan:
         if grp.V == 0:
             return jnp.zeros((B, 0, p.Nt), img.dtype)
         T = self._fp_group_fine(img, grp)[:grp.V]              # [V, B, L]
-        # anterpolate fine → t bins (small per-view windowed gathers);
-        # fine index m lives at flat (m%Kf)·Lq + m//Kf
+        Mfine = Kf * grp.Lq
+        Wt = 2 * Kf + 2
+        # Kf=1 flat layout is monotone in the fine index → the anterpolation
+        # is a windowed multi-tap resample; one Pallas kernel replaces the
+        # scalar-path gathers (take_along_axis measured 1.06 s for the 512²
+        # projection; the kernel path ~its roll-table BP cousin's cost).
+        # Contract: within-128-block index span < _WTR_D − Wt.
+        span_ok = (Kf == 1 and grp.V > 0
+                   and 128.0 / max(float(np.min(grp.step)), 1e-6) + Wt
+                   < _shift._WTR_D - 2)
+        if span_ok:
+            Lp = _round_up(p.Nt, 128)
+            d = jnp.minimum(jnp.arange(Lp, dtype=jnp.float32),
+                            float(p.Nt - 1))[None, :]          # [1, Lp]
+            sgn = jnp.asarray(grp.sgn)[:, None]
+            step = jnp.asarray(grp.step)[:, None]
+            beta0 = jnp.asarray(grp.beta0)[:, None]
+            d_adj = jnp.where(sgn > 0, d, -d)
+            m0 = jnp.floor((d_adj - 1.0 - beta0) / step).astype(jnp.int32)
+            qi0 = jnp.clip(m0, 0, max(Mfine - 1, 0))           # [V, Lp]
+            ks = jnp.arange(Wt, dtype=jnp.float32)[None, :, None]
+            midx = qi0[:, None, :].astype(jnp.float32) + ks    # [V, Wt, Lp]
+            qpos = sgn[:, None] * (step[:, None] * midx + beta0[:, None])
+            W = jnp.maximum(0.0, 1.0 - jnp.abs(qpos - d[:, None]))
+            W = W * (midx < Mfine)
+            if Lp > p.Nt:                                      # padded bins
+                W = W * (jnp.arange(Lp) < p.Nt)
+            Tp = jnp.pad(T, ((0, 0), (0, 0), (0, _shift._WTR_WIN)))
+            out = anterp_taps(Tp, qi0, W.astype(jnp.float32))[:, :, :p.Nt]
+            return jnp.swapaxes(out, 0, 1)                     # [B, V, Nt]
+        # general-Kf fallback: the flat fine layout interleaves k-planes
+        # (non-monotone in m) — windowed gathers per tap
         d = jnp.arange(p.Nt, dtype=jnp.float32)[None, :]       # [1, Nt]
         sgn = jnp.asarray(grp.sgn)[:, None]
         step = jnp.asarray(grp.step)[:, None]
@@ -319,9 +353,7 @@ class _SartFastPlan:
         d_adj = jnp.where(sgn > 0, d, -d)
         m_lo = (d_adj - 1.0 - beta0) / step
         m0 = jnp.floor(m_lo).astype(jnp.int32)
-        Mfine = Kf * grp.Lq
         out = jnp.zeros((B, grp.V, p.Nt), img.dtype)
-        Wt = 2 * Kf + 2
         for k in range(Wt):
             m = m0 + k
             qpos = sgn * (step * m.astype(jnp.float32) + beta0)

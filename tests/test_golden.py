@@ -57,12 +57,16 @@ def corpus(tmp_path_factory):
     betas = jnp.asarray(default_betas(g))
     rng = np.random.default_rng(1234)
     for i in range(4):
-        ph = np.asarray(shepp_logan(32), np.float32) * 0.03 * (1 + 0.07 * i)
+        # realistic μ regime: shepp_logan peaks ≈1 → μ≈0.36 ≈ 2·μ_water,
+        # so the pixel-converted images span ~[0, 0.5] like real CT; the
+        # ld_img noise σ=0.03 μ (≈0.04 in pixel units) pins the LDCT group
+        # near the reference golden slice's 28.14 dB (TestSamples/.../
+        # metric.json:2) instead of the old degenerate 53 dB corpus
+        ph = np.asarray(shepp_logan(32), np.float32) * 0.36 * (1 + 0.07 * i)
         proj = np.asarray(forward_project(jnp.asarray(ph), g, lut, betas))
         ld_proj = proj + rng.normal(0, 0.02 * proj.max(),
                                     proj.shape).astype(np.float32)
-        # ld_img is genuinely degraded so the LDCT metric group is finite
-        ld_img = (ph.T + rng.normal(0, 0.002, ph.shape)).astype(np.float32)
+        ld_img = (ph.T + rng.normal(0, 0.03, ph.shape)).astype(np.float32)
         for kind, arr in (("fd_img", ph.T), ("ld_img", ld_img),
                           ("fd_proj", proj), ("ld_proj", ld_proj)):
             d = os.path.join(root, kind, "L001")
@@ -106,12 +110,18 @@ def _aggregate_metrics(eng):
         return json.load(f)
 
 
-def _pins():
+def _pin(name: str):
     if not os.path.exists(FIXTURE):
         pytest.fail("tests/golden_fixture.json missing — regenerate with "
                     "IPDM_GOLDEN_REGEN=1 (see module docstring)")
     with open(FIXTURE) as f:
-        return json.load(f)
+        data = json.load(f)
+    if name not in data:
+        pytest.fail(
+            f"golden fixture has no '{name}' pin (keys: {sorted(data)}) — "
+            "generate it with IPDM_GOLDEN_REGEN=1 python -m pytest "
+            "tests/test_golden.py -q -m '' and commit the fixture")
+    return data[name]
 
 
 def _check(group: dict, want: dict, label: str):
@@ -152,7 +162,7 @@ def test_golden_progressive_untrained(corpus, tmp_path):
     if REGEN:
         _regen_write("untrained_prog", got)
         return
-    want = _pins()["untrained_prog"]
+    want = _pin("untrained_prog")
     for gname in ("LDCT", "deProj", "deProg"):
         _check(got[gname], want[gname], gname)
 
@@ -182,6 +192,6 @@ def test_golden_progressive_trained(corpus, tmp_path):
     if REGEN:
         _regen_write("trained_prog", got)
         return
-    want = _pins()["trained_prog"]
+    want = _pin("trained_prog")
     for gname in ("LDCT", "deProj", "deProg"):
         _check(got[gname], want[gname], gname)

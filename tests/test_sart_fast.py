@@ -157,10 +157,40 @@ def test_os_sart_sweep_semantics(fp_roll):
     np.testing.assert_allclose(got, x, rtol=2e-4, atol=2e-4)
 
 
-def test_os_sart_sweep_mm_semantics():
+def test_anterp_taps_semantics():
+    """The windowed multi-tap resample kernel == the direct per-element
+    gather sum out[v,:,d] = Σ_k W[v,k,d]·P[v,:,qi0[v,d]+k], on monotone
+    index tables honouring its span contract (both directions)."""
+    from ipdm_tpu.ops.pallas.shift import _WTR_WIN, anterp_taps
+    rng = np.random.RandomState(3)
+    V, B, Wt, Lp, M = 6, 2, 4, 256, 640
+    P = rng.rand(V, B, M + _WTR_WIN).astype(np.float32)
+    P[:, :, M:] = 0.0
+    qi0 = np.zeros((V, Lp), np.int32)
+    for v in range(V):
+        step = rng.uniform(0.9, 1.4)
+        base = rng.randint(0, 40)
+        seq = np.clip((base + np.arange(Lp) * step).astype(np.int64),
+                      0, M - 1)
+        qi0[v] = seq[::-1] if v % 2 else seq  # either monotone direction
+    W = rng.rand(V, Wt, Lp).astype(np.float32)
+    got = np.asarray(anterp_taps(jnp.asarray(P), jnp.asarray(qi0),
+                                 jnp.asarray(W), interpret=True))
+    want = np.zeros((V, B, Lp), np.float32)
+    for k in range(Wt):
+        idx = qi0 + k
+        for v in range(V):
+            want[v] += W[v, k][None, :] * P[v][:, idx[v]]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("G", [2, 4, 8])
+def test_os_sart_sweep_mm_semantics(G):
     """The MXU tap-matrix sweep kernel == the naive two-tap FP→corr→BP→
     update loop (interpret mode on CPU), on tables honouring its contract
-    (per-view monotone starts, |Δs| ≤ 1 per row — the Kf=1 fine grid)."""
+    (per-view monotone starts, |Δs| ≤ 1 per row — the Kf=1 fine grid).
+    G sweeps the view-stacking factor: 4 is the shipped production default
+    (sart_fast._MM_G), 2/8 the legal neighbours (Vp=8 divides all three)."""
     from ipdm_tpu.ops.pallas.shift import os_sart_sweep_mm
     rng = np.random.RandomState(0)
     S, Vp, B, n, L = 3, 8, 2, 64, 512
@@ -182,7 +212,7 @@ def test_os_sart_sweep_mm_semantics():
     got = np.asarray(os_sart_sweep_mm(
         jnp.asarray(x0), jnp.asarray(rf), jnp.asarray(inv2),
         jnp.asarray(frac), jnp.asarray(s0),
-        jnp.asarray(nrmi), jnp.float32(lam), interpret=True))
+        jnp.asarray(nrmi), jnp.float32(lam), interpret=True, G=G))
     x = x0.copy()
     for s in range(S):
         T = np.zeros((Vp, B, L), np.float32)
