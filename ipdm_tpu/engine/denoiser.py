@@ -166,6 +166,16 @@ class ProgressiveDomainDenoiser:
 
         self.rng = jax.random.PRNGKey(opt.seed)
 
+        # Device mesh (SURVEY §5.8): one mesh serves training (batch dp over
+        # 'data') AND inference (the UNet evals' H axis sharded over ALL
+        # axes for per-slice latency scaling; the reference has no
+        # counterpart — its torch.distributed hooks are never initialised).
+        if opt.mesh_shape:
+            from ipdm_tpu.parallel import make_mesh
+            self.mesh = make_mesh(opt.mesh_shape, ("data", "view"))
+        else:
+            self.mesh = None
+
         # Section: models per mode (train_test_utils.py:146-168)
         self.proj_model = None
         self.proj_params = None
@@ -188,6 +198,13 @@ class ProgressiveDomainDenoiser:
         if self._train_domain is not None:
             self._init_training()
         self.load_model()
+        if self.mesh is not None and "test" in opt.mode:
+            # inference under the mesh: params replicate, sample inputs
+            # shard their H axis (data_sample_load) — XLA SPMD compiles the
+            # guided samplers with conv halo exchanges / GN psums /
+            # attention all-gathers over ICI
+            self.img_params = self._replicate(self.img_params)
+            self.proj_params = self._replicate(self.proj_params)
 
         # Section: data
         self.init_data_loader()
@@ -288,13 +305,11 @@ class ProgressiveDomainDenoiser:
         self.train_state = TrainState(params=params,
                                       opt_state=self.optimizer.init(params),
                                       step=jnp.zeros((), jnp.int32))
-        if opt.mesh_shape:
-            from ipdm_tpu.parallel import make_mesh, make_sharded_train_step
-            self.mesh = make_mesh(opt.mesh_shape, ("data", "view"))
+        if self.mesh is not None:
+            from ipdm_tpu.parallel import make_sharded_train_step
             self.train_step = make_sharded_train_step(
                 model, gd, self.optimizer, self.partial_timesteps, self.mesh)
         else:
-            self.mesh = None
             self.train_step = make_train_step(model, gd, self.optimizer,
                                               self.partial_timesteps)
 
@@ -370,6 +385,40 @@ class ProgressiveDomainDenoiser:
     # params never bake into the executable as constants (closing over them
     # measured +~300 MB on the serialized flagship programs, which the
     # relay's executable fetch turns into warmup time; docs/PERF.md).
+
+    def _shard_for_inference(self, x):
+        """Shard the H (row) axis of an NHWC/NHW device array over EVERY
+        mesh axis: one slice's UNet evals then spread across the whole mesh
+        (per-slice latency scaling — the op-level recipe is
+        parallel.mesh.make_spatial_sharded_apply; here the engine commits
+        the input sharding and the samplers' existing jits compile SPMD)."""
+        if self.mesh is None or x is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        # device_put requires the dim size divisible by the axis product:
+        # use the largest suffix-accumulated subset of axes that divides H
+        # (tiny test geometries: H=60 shards over data=4 but not 4x2)
+        H = x.shape[1]
+        axes = []
+        prod = 1
+        for name in self.mesh.axis_names:
+            size = self.mesh.shape[name]
+            if H % (prod * size) == 0:
+                axes.append(name)
+                prod *= size
+        if not axes:
+            return x
+        spec = [None] * x.ndim
+        spec[1] = tuple(axes)
+        return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+
+    def _replicate(self, x):
+        """Replicate a device value over the mesh (convertor inputs: the
+        Pallas SART/FBP kernels run as unpartitioned custom calls)."""
+        if self.mesh is None or x is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return jax.device_put(x, NamedSharding(self.mesh, P()))
 
     def _proj_fn(self):
         return (ModelApply(self.proj_model), self.proj_params)
@@ -616,8 +665,8 @@ class ProgressiveDomainDenoiser:
                 # per-item, so stacking over the batch axis is exact and
                 # amortizes the convertor's fixed cost ~K×)
                 B = result[0].shape[0]
-                stacked = jnp.concatenate([G * r[..., 0] for r in result],
-                                          axis=0)
+                stacked = self._replicate(
+                    jnp.concatenate([G * r[..., 0] for r in result], axis=0))
                 conv = self.convertor(stacked)[..., None]
                 imgs = [conv[i * B:(i + 1) * B] for i in range(len(result))]
                 for i, img in enumerate(imgs):
@@ -628,7 +677,8 @@ class ProgressiveDomainDenoiser:
                 self.proj_denoise_result[f"iter_{i + 1}"] = _to_nchw(r)
             return result[return_idx], self.noise_strength
         if convert:
-            img = self.convertor(G * result[return_idx][..., 0])[..., None]
+            img = self.convertor(self._replicate(
+                G * result[return_idx][..., 0]))[..., None]
             self.proj_denoise_convert2img_result["iter_1"] = _to_nchw(img)
             return img, self.noise_strength
         self.proj_denoise_result["iter_1"] = _to_nchw(result[return_idx])
@@ -639,6 +689,7 @@ class ProgressiveDomainDenoiser:
         """x: device NHWC [B, H, W, 1] (train_test_utils.py:482-550)."""
         opt = self.opt
         self.rng, k = jax.random.split(self.rng)
+        x = self._shard_for_inference(x)
         ldct = x
         if opt.sample_method_img == "dense":
             result, _, _ = guided_reverse_process(
@@ -716,17 +767,17 @@ class ProgressiveDomainDenoiser:
             ldct = np.asarray(ldct, np.float32)
             if opt.normal:
                 ldct_n, self.trans_ldimg = yeo_johnson_transform(ldct)
-                self.ldct = jnp.asarray(ldct_n)
+                self.ldct = self._shard_for_inference(jnp.asarray(ldct_n))
             else:
-                self.ldct = jnp.asarray(ldct)
+                self.ldct = self._shard_for_inference(jnp.asarray(ldct))
             self.ldct_np = miu2pixel(np.squeeze(ldct))
         if ldproj is not None:
             ldproj = np.asarray(ldproj, np.float32)
             if opt.normal:
                 ldproj_n, self.trans_ldproj = yeo_johnson_transform(ldproj)
-                self.ldproj = jnp.asarray(ldproj_n)
+                self.ldproj = self._shard_for_inference(jnp.asarray(ldproj_n))
             else:
-                self.ldproj = jnp.asarray(ldproj)
+                self.ldproj = self._shard_for_inference(jnp.asarray(ldproj))
             self.ldproj_np = np.squeeze(ldproj)
         if fdct is not None:
             self.fdct = np.squeeze(miu2pixel(np.asarray(fdct, np.float32)))

@@ -198,6 +198,11 @@ def _up2_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
 # docs/PERF.md "Optimization backlog" for the numbers and git history for
 # the code.)
 VPU_UNROLL_MAX = 64
+# small-C planar lowering selector (trace-time): "stack" = per-channel
+# scalar-FMA chains + jnp.stack; "einsum" = route small-C convs onto the
+# 9-tap einsum path like every other planar conv. In-context A/B on the
+# round-4 host (scripts/probe_eval_r4.py) picks the default below.
+PLANAR_SMALLC = "stack"
 
 
 class Conv3x3(nn.Module):
@@ -244,12 +249,18 @@ class Conv3x3(nn.Module):
                     for dw in range(3)]
             shifted = [cols[dw][:, :, dh:dh + (Ho - 1) * s + 1:s, :]
                        for dh in range(3) for dw in range(3)]
-            if cin * self.features <= VPU_UNROLL_MAX:
+            if (cin * self.features <= VPU_UNROLL_MAX
+                    and PLANAR_SMALLC == "stack"):
                 # Tiny-C planar convs are MXU M-stream-bound: a matmul over
                 # M = B·H·W pixel rows advances ~1 row/cycle no matter how
                 # skinny K = 9·cin, N = cout are (full-res proj level:
                 # 1.8M rows ≈ 1.9 ms/conv). Unrolled scalar-broadcast FMAs
-                # run on the VPU at ~9·cin·cout·H·W/1024 cycles instead.
+                # run on the VPU instead, one accumulation per output
+                # channel + jnp.stack. (A one-pass [B,O,H,W] broadcast-sum
+                # rewrite measured PATHOLOGICAL in context — proj eval 137
+                # vs 86 ms — despite winning in isolation, probe_eval_r4 /
+                # probe_planarconv_r4; the einsum route is the alternative,
+                # PLANAR_SMALLC="einsum".)
                 outs = []
                 for o in range(self.features):
                     acc = None
@@ -362,10 +373,19 @@ def _flash_attention(q, k, v, sm_scale: float):
     T is padded to a block multiple; padded queries attend only padded
     (zero) keys via segment ids, so real rows are unaffected."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
-        SegmentIds, flash_attention)
+        BlockSizes, SegmentIds, flash_attention)
 
     B, T, nh, hd = q.shape
     Tp = -(-T // _FLASH_BLOCK) * _FLASH_BLOCK
+    # Explicit block sizes: this jax version's defaults pick tiny blocks at
+    # these shapes — measured 52.2 ms vs 2.26 ms with 1024³ blocks for the
+    # proj ds16 attention [1,4,7168,64] (scripts/probe_attn.py, v5e).
+    blk = 1024 if Tp % 1024 == 0 else _FLASH_BLOCK
+    block_sizes = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+        block_q_dq=blk)
     qt = jnp.transpose(q, (0, 2, 1, 3))          # [B, heads, T, hd]
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
@@ -377,7 +397,7 @@ def _flash_attention(q, k, v, sm_scale: float):
         ids = jnp.broadcast_to(ids[None], (B, Tp))
         seg = SegmentIds(q=ids, kv=ids)
     out = flash_attention(qt, kt, vt, segment_ids=seg, causal=False,
-                          sm_scale=sm_scale)
+                          sm_scale=sm_scale, block_sizes=block_sizes)
     return jnp.transpose(out[:, :, :T], (0, 2, 1, 3))
 
 

@@ -228,6 +228,35 @@ def test_test_prog_end_to_end(prog_root, tmp_path, convertor):
 
 
 @pytest.mark.slow
+def test_test_prog_sharded_mesh_matches_unsharded(prog_root, tmp_path):
+    """test_prog under a [4,2] device mesh: params replicate, the sample
+    inputs' H axis shards over all 8 virtual devices so every UNet eval
+    inside the guided scans runs spatially partitioned (XLA SPMD inserts
+    the conv halo exchanges / GN psums); converts run replicated. Metrics
+    must match the unsharded run within the golden-fixture tolerances
+    (the only differences are f32 reduction reorderings)."""
+    def run(save, **kw):
+        opt = _prog_opt(prog_root, "test_prog", convertor="ART",
+                        ultra_img_denoise=True, **kw)
+        eng = ProgressiveDomainDenoiser(opt, result_save_path=save)
+        eng.fit()
+        mfile = glob.glob(os.path.join(
+            eng.save_root_path, "Save_Iter_0", "L001", "*", "metric.json"))[0]
+        with open(mfile) as f:
+            return json.load(f)
+
+    m0 = run(str(tmp_path / "a"))
+    m1 = run(str(tmp_path / "b"), mesh_shape=[4, 2])
+    for grp in ("deProj", "deProg"):
+        for key, val in m0[grp].items():
+            if not np.isfinite(val):
+                continue
+            tol = 0.05 if "psnr" in key else 1e-3
+            assert m1[grp][key] == pytest.approx(val, abs=tol), (
+                f"{grp}.{key}: sharded {m1[grp][key]:.6f} vs {val:.6f}")
+
+
+@pytest.mark.slow
 def test_prog_adaptive_and_proj_state(prog_root, tmp_path):
     """Adaptive proj schedule (t_start_proj=None & constant=None classifies
     noise strength, model.py:596-613) + save_proj_state stores raw proj
