@@ -199,9 +199,12 @@ def _up2_conv(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
 # the code.)
 VPU_UNROLL_MAX = 64
 # small-C planar lowering selector (trace-time): "stack" = per-channel
-# scalar-FMA chains + jnp.stack; "einsum" = route small-C convs onto the
-# 9-tap einsum path like every other planar conv. In-context A/B on the
-# round-4 host (scripts/probe_eval_r4.py) picks the default below.
+# scalar-FMA chains + jnp.stack; "stackbar" = stack + an optimization
+# barrier materializing the W-shifted tap views once per conv; "einsum" =
+# route small-C convs onto the 9-tap einsum path. In-context A/B on the
+# round-4 host (scripts/probe_eval_r4.py, proj eval ms): stack 65.1 /
+# einsum 86.2 / one-pass broadcast-sum 137 / one-pass Pallas VPU kernel
+# 98.9 (the last two removed — git history at the round-4 commits).
 PLANAR_SMALLC = "stack"
 
 
@@ -247,20 +250,25 @@ class Conv3x3(nn.Module):
             # v5e vs 1.1 ms this way (scripts/probe output in docs/PERF.md)
             cols = [xp[:, :, :, dw:dw + (Wo - 1) * s + 1:s]
                     for dw in range(3)]
+            if PLANAR_SMALLC == "stackbar":
+                # materialize the three W-shifted copies ONCE per conv:
+                # without the barrier XLA re-derives the lane-UNALIGNED
+                # ±1-offset views inside every consumer fusion (one per
+                # output channel on the stack path), paying the cross-lane
+                # realign 8x per conv
+                cols = list(jax.lax.optimization_barrier(tuple(cols)))
             shifted = [cols[dw][:, :, dh:dh + (Ho - 1) * s + 1:s, :]
                        for dh in range(3) for dw in range(3)]
             if (cin * self.features <= VPU_UNROLL_MAX
-                    and PLANAR_SMALLC == "stack"):
+                    and PLANAR_SMALLC in ("stack", "stackbar")):
                 # Tiny-C planar convs are MXU M-stream-bound: a matmul over
                 # M = B·H·W pixel rows advances ~1 row/cycle no matter how
                 # skinny K = 9·cin, N = cout are (full-res proj level:
                 # 1.8M rows ≈ 1.9 ms/conv). Unrolled scalar-broadcast FMAs
                 # run on the VPU instead, one accumulation per output
-                # channel + jnp.stack. (A one-pass [B,O,H,W] broadcast-sum
-                # rewrite measured PATHOLOGICAL in context — proj eval 137
-                # vs 86 ms — despite winning in isolation, probe_eval_r4 /
-                # probe_planarconv_r4; the einsum route is the alternative,
-                # PLANAR_SMALLC="einsum".)
+                # channel + jnp.stack. (One-pass rewrites measured
+                # PATHOLOGICAL in context despite winning in isolation —
+                # see the PLANAR_SMALLC table above.)
                 outs = []
                 for o in range(self.features):
                     acc = None

@@ -39,7 +39,7 @@ def build_and_time(smallc, label):
           flush=True)
     return np.asarray(jnp.asarray(y, jnp.float32))
 
-y64 = build_and_time("stack", "smallC=stack")
-y0 = build_and_time("einsum", "smallC=einsum")
+y64 = build_and_time("stackbar", "smallC=stackbar")
+y0 = build_and_time("stack", "smallC=stack")
 print("context max|d| (8 chained evals, bf16):",
       float(np.max(np.abs(y64 - y0))), flush=True)
