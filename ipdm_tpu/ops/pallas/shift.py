@@ -848,24 +848,26 @@ def _wtr_kernel(qis_ref, qi_ref, w_ref, p_ref, out_ref, *, Wt):
     _, B, Ntp = p_ref.shape
     Lp = out_ref.shape[-1]
     D = _WTR_D
-    for j in range(Lp // 128):
-        first = qis_ref[0, j * 128]
-        last = qis_ref[0, j * 128 + 127]
-        base = jnp.minimum(first, last)      # monotone either direction
-        a = pl.multiple_of((base // 128) * 128, 128)
-        rem = base - a
-        w = p_ref[0, :, pl.ds(a, _WTR_WIN)]                 # [B, WIN]
-        w2 = pltpu.roll(w, shift=_WTR_WIN - rem, axis=1)    # w2[:,i]=w[rem+i]
-        qi2 = qi_ref[0, pl.ds(j * 128, 128)] - base         # [128] in [0,D)
-        iota = jax.lax.broadcasted_iota(jnp.int32, (D, 128), 0)
-        Wm = jnp.zeros((D, 128), jnp.float32)
-        for k in range(Wt):
-            ck = (iota == qi2[None, :] + k).astype(jnp.float32)
-            Wm = Wm + ck * w_ref[0, k * Lp + j * 128:k * Lp + (j + 1) * 128][None]
-        blk = jax.lax.dot_general(
-            w2[:, :D].astype(jnp.float32), Wm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)             # [B, 128]
-        out_ref[0, :, pl.ds(j * 128, 128)] = blk.astype(out_ref.dtype)
+    for v in range(VB):
+        for j in range(Lp // 128):
+            first = qis_ref[v, j * 128]
+            last = qis_ref[v, j * 128 + 127]
+            base = jnp.minimum(first, last)  # monotone either direction
+            a = pl.multiple_of((base // 128) * 128, 128)
+            rem = base - a
+            w = p_ref[v, :, pl.ds(a, _WTR_WIN)]              # [B, WIN]
+            w2 = pltpu.roll(w, shift=_WTR_WIN - rem, axis=1)  # [:,i]=w[rem+i]
+            qi2 = qi_ref[v, pl.ds(j * 128, 128)] - base      # [128] in [0,D)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (D, 128), 0)
+            Wm = jnp.zeros((D, 128), jnp.float32)
+            for k in range(Wt):
+                ck = (iota == qi2[None, :] + k).astype(jnp.float32)
+                Wm = Wm + ck * w_ref[v, k * Lp + j * 128:
+                                     k * Lp + (j + 1) * 128][None]
+            blk = jax.lax.dot_general(
+                w2[:, :D].astype(jnp.float32), Wm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [B, 128]
+            out_ref[v, :, pl.ds(j * 128, 128)] = blk.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -876,23 +878,28 @@ def anterp_taps(P: jnp.ndarray, qi0: jnp.ndarray, W: jnp.ndarray,
     P: [V, B, Ntp] source rows, zero-padded so Ntp % 128 == 0 and
     Ntp ≥ max(qi0) + _WTR_WIN (window headroom). qi0: [V, Lp] int32 ≥ 0,
     MONOTONE per view (either direction) with within-128-block span
-    < _WTR_D − Wt (callers check; step ≥ 0.85 guarantees it). W: [V, Wt, Lp]
-    f32 tap weights (zero where the tap is out of range). Lp % 128 == 0."""
+    < _WTR_D − Wt (callers check; step ≥ 0.456 guarantees it). W:
+    [V, Wt, Lp] f32 tap weights (zero where the tap is out of range).
+    Lp % 128 == 0. The view axis is padded to VB=8 internally (Mosaic
+    needs the SMEM block's second-minor dim divisible by 8)."""
     V, B, Ntp = P.shape
     Wt = W.shape[1]
     Lp = qi0.shape[-1]
     assert Ntp % 128 == 0 and Lp % 128 == 0
-    return pl.pallas_call(
+    P, qi0, W = pad_views(P, qi0, W)
+    Vp = P.shape[0]
+    out = pl.pallas_call(
         functools.partial(_wtr_kernel, Wt=Wt),
-        grid=(V,),
+        grid=(Vp // VB,),
         in_specs=[
-            pl.BlockSpec((1, Lp), lambda v: (v, 0),
+            pl.BlockSpec((VB, Lp), lambda v: (v, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Lp), lambda v: (v, 0)),
-            pl.BlockSpec((1, Wt * Lp), lambda v: (v, 0)),
-            pl.BlockSpec((1, B, Ntp), lambda v: (v, 0, 0)),
+            pl.BlockSpec((VB, Lp), lambda v: (v, 0)),
+            pl.BlockSpec((VB, Wt * Lp), lambda v: (v, 0)),
+            pl.BlockSpec((VB, B, Ntp), lambda v: (v, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, B, Lp), lambda v: (v, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((V, B, Lp), P.dtype),
+        out_specs=pl.BlockSpec((VB, B, Lp), lambda v: (v, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Vp, B, Lp), P.dtype),
         interpret=interpret or not _on_tpu(),
-    )(qi0, qi0, W.reshape(V, Wt * Lp), P)
+    )(qi0, qi0, W.reshape(Vp, Wt * Lp), P)
+    return out[:V]
