@@ -34,12 +34,15 @@ TPU-first choices:
 from __future__ import annotations
 
 import math
+import os as _os
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+
+from ipdm_tpu.ops.pallas.planar import planar_unit
 
 
 def timestep_embedding(timesteps: jnp.ndarray, dim: int, max_period=10000,
@@ -84,11 +87,26 @@ class GN(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, planar: bool = False):
+    def __call__(self, x, planar: bool = False, coeffs_only: bool = False):
         C = self.channels
         g = group_count(C)
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        if coeffs_only:
+            # per-(batch, channel) affine (a, b) with a*x + b == GN(x) in
+            # f32 — consumed by the fused planar unit kernel
+            # (ops/pallas/planar.py); same E[x²]−E[x]² stats as below
+            assert planar
+            B = x.shape[0]
+            xf = x.astype(jnp.float32)
+            xg = xf.reshape(B, g, C // g, *x.shape[2:])
+            mean = xg.mean(axis=(2, 3, 4))                 # [B, g]
+            m2 = (xg * xg).mean(axis=(2, 3, 4))
+            var = jnp.maximum(m2 - mean * mean, 0.0)
+            rstd = jax.lax.rsqrt(var + 1e-5)
+            mean_c = jnp.repeat(mean, C // g, axis=1)      # [B, C]
+            a = jnp.repeat(rstd, C // g, axis=1) * scale[None]
+            return a, bias[None] - mean_c * a
         # E[x²]−E[x]² so both reductions fuse into ONE pass over the input
         # (the (x−mean)² form forces a second read after the mean; measured
         # bandwidth matters at the full-res sinogram levels). f32 stats keep
@@ -206,6 +224,21 @@ VPU_UNROLL_MAX = 64
 # einsum 86.2 / one-pass broadcast-sum 137 / one-pass Pallas VPU kernel
 # 98.9 (the last two removed — git history at the round-4 commits).
 PLANAR_SMALLC = "stack"
+# Fused planar GN→SiLU→conv Pallas unit (ops/pallas/planar.py): one pass
+# per unit instead of one loop fusion per output channel. "auto" = on when
+# running on TPU (off-TPU the kernel would run in slow interpret mode);
+# IPDM_PLANAR_FUSED=0/1 forces. Read at trace time.
+PLANAR_FUSED = _os.environ.get("IPDM_PLANAR_FUSED", "auto")
+PLANAR_FUSED_HT = 64   # kernel H-block rows (tuning knob)
+
+
+def _planar_fused_on() -> bool:
+    if PLANAR_FUSED == "auto":
+        try:
+            return jax.devices()[0].platform == "tpu"
+        except Exception:
+            return False
+    return PLANAR_FUSED not in ("0", "off", "False")
 
 
 class Conv3x3(nn.Module):
@@ -225,7 +258,15 @@ class Conv3x3(nn.Module):
     im2col_max_cin: int = 32
 
     @nn.compact
-    def __call__(self, x, planar: bool = False, upsample2: bool = False):
+    def __call__(self, x, planar: bool = False, upsample2: bool = False,
+                 gn_affine=None, extra_bias=None, skip_add=None):
+        """gn_affine: optional ([B,Cin],[B,Cin]) f32 GN affine — the conv
+        consumes silu(a*x+b) instead of x (planar only; see GN
+        coeffs_only). extra_bias: optional [B,features] added per channel
+        (time embedding). skip_add: optional [B,features,H,W] residual
+        added to the output. On TPU these fuse into one Pallas pass per
+        unit (planar_unit); off-TPU the pieces compose in XLA with the
+        incumbent lowering."""
         cin = x.shape[1] if planar else x.shape[-1]
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, cin,
@@ -233,12 +274,31 @@ class Conv3x3(nn.Module):
             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
+        kernel_f32, bias_f32 = kernel, bias
         kernel = kernel.astype(self.dtype)
         bias = bias.astype(self.dtype)
         if upsample2:
             assert not planar
             return _up2_conv(x, kernel, bias, self.dtype)
         s = self.strides
+        if planar and s == 1 and _planar_fused_on():
+            B = x.shape[0]
+            if gn_affine is None:
+                af = jnp.ones((B, cin), jnp.float32)
+                bf = jnp.zeros((B, cin), jnp.float32)
+            else:
+                af, bf = gn_affine
+            btot = jnp.broadcast_to(bias_f32[None], (B, self.features))
+            if extra_bias is not None:
+                btot = btot + extra_bias.astype(jnp.float32)
+            return planar_unit(x, af, bf, kernel_f32, btot, skip_add,
+                               act=gn_affine is not None,
+                               ht=PLANAR_FUSED_HT)
+        if planar and gn_affine is not None:
+            af, bf = gn_affine
+            xh = (x.astype(jnp.float32) * af[:, :, None, None]
+                  + bf[:, :, None, None]).astype(x.dtype)
+            x = nn.silu(xh)
         if planar:
             B, _, H, W = x.shape
             Ho = -(-H // s)
@@ -278,14 +338,21 @@ class Conv3x3(nn.Module):
                             term = kernel[dh, dw, c, o] * shifted[t9][:, c]
                             acc = term if acc is None else acc + term
                     outs.append(acc + bias[o])
-                return jnp.stack(outs, axis=1)
-            y = None
-            for t9 in range(9):
-                dh, dw = divmod(t9, 3)
-                r = jnp.einsum("bchw,co->bohw", shifted[t9], kernel[dh, dw],
-                               preferred_element_type=self.dtype)
-                y = r if y is None else y + r
-            return y + bias[None, :, None, None]
+                y = jnp.stack(outs, axis=1)
+            else:
+                y = None
+                for t9 in range(9):
+                    dh, dw = divmod(t9, 3)
+                    r = jnp.einsum("bchw,co->bohw", shifted[t9],
+                                   kernel[dh, dw],
+                                   preferred_element_type=self.dtype)
+                    y = r if y is None else y + r
+                y = y + bias[None, :, None, None]
+            if extra_bias is not None:
+                y = y + extra_bias.astype(y.dtype)[:, :, None, None]
+            if skip_add is not None:
+                y = y + skip_add
+            return y
         if cin > self.im2col_max_cin:
             y = jax.lax.conv_general_dilated(
                 x, kernel, (s, s), ((1, 1), (1, 1)),
@@ -340,6 +407,28 @@ class ResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         p = self.planar
+        if p and _planar_fused_on():
+            # fused-unit path: each GN→SiLU→conv (+time-emb bias / +skip)
+            # lowers to ONE Pallas pass (ops/pallas/planar.py); GN stats
+            # stay in XLA as coeffs. Same math as the branch below.
+            a1, b1 = GN(self.in_channels, self.dtype)(x, planar=True,
+                                                      coeffs_only=True)
+            t = nn.Dense(self.out_channels, dtype=self.dtype,
+                         param_dtype=jnp.float32,
+                         name="time_emb")(nn.silu(temb))
+            h = Conv3x3(self.out_channels, dtype=self.dtype,
+                        name="conv1")(x, planar=True, gn_affine=(a1, b1),
+                                      extra_bias=t)
+            a2, b2 = GN(self.out_channels, self.dtype)(h, planar=True,
+                                                       coeffs_only=True)
+            if self.in_channels != self.out_channels:
+                sc = Conv1x1(self.out_channels, dtype=self.dtype,
+                             name="shortcut")(x, planar=True)
+            else:
+                sc = x
+            return Conv3x3(self.out_channels, dtype=self.dtype,
+                           name="conv2")(h, planar=True,
+                                         gn_affine=(a2, b2), skip_add=sc)
         h = GN(self.in_channels, self.dtype)(x, planar=p)
         h = nn.silu(h)
         h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(
@@ -654,10 +743,17 @@ class UNetModel(nn.Module):
         want = self._planar(final_ch)
         h = fit(h, hp, want)
         hp = want
-        h = GN(final_ch, self.dtype)(h, planar=hp)
-        h = nn.silu(h)
-        h = Conv3x3(self.out_channels, dtype=self.dtype,
-                    name="out_conv")(h, planar=hp)
+        if hp and _planar_fused_on():
+            af, bf = GN(final_ch, self.dtype)(h, planar=True,
+                                              coeffs_only=True)
+            h = Conv3x3(self.out_channels, dtype=self.dtype,
+                        name="out_conv")(h, planar=True,
+                                         gn_affine=(af, bf))
+        else:
+            h = GN(final_ch, self.dtype)(h, planar=hp)
+            h = nn.silu(h)
+            h = Conv3x3(self.out_channels, dtype=self.dtype,
+                        name="out_conv")(h, planar=hp)
         if hp:
             h = from_planar(h)
         return h.astype(jnp.float32)

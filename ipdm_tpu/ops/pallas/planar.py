@@ -1,0 +1,164 @@
+"""Fused planar-level UNet unit: conv3x3(silu(a*x + b)) + bias [+ skip].
+
+The shallow UNet levels (C = 4..16 at 2000x912 / 1000x456) run in planar
+[B, C, H, W] layout. XLA's best lowering for their 3x3 convs (the
+``PLANAR_SMALLC = "stack"`` path, models/unet.py) emits one fusion PER
+OUTPUT CHANNEL, each re-deriving the nine shifted tap views of the full
+input — measured ~30 ms of 486 GB/s loop fusions per 2000x912 UNet eval
+(~46% of the eval; docs/PERF.md round-4 trace). Every single-pass XLA
+rewrite loses in context because the per-channel fusions absorb the
+pad + GN/silu producer for free.
+
+This kernel is the structurally different design: ONE pass per
+GN->silu->conv unit that applies the (precomputed) GroupNorm affine and
+SiLU inline, reads each input block once (3x for the row halo), and
+accumulates all output channels in a VMEM f32 scratch. The GN statistics
+stay outside (a single cheap fused reduction); what the kernel needs are
+the per-(batch, channel) affine coefficients
+
+    a[b, c] = rstd[b, g(c)] * scale[c]
+    b[b, c] = bias[c] - mean[b, g(c)] * rstd[b, g(c)] * scale[c]
+
+so `silu(a*x + b)` == `silu(GN(x))` exactly.
+
+Replaces the per-channel-fusion lowering of the reference's shallow
+float32 NCHW convs (reference model.py:95-130 ResBlock at
+channel_mult <= 0.25 levels); parity vs the unfused path is tested in
+interpret mode (tests/test_planar_fused.py).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _unit_kernel(a_ref, bb_ref, w_ref, bias_ref, xm_ref, x0_ref, xp_ref,
+                 *rest, Wreal, H, Ht, act, has_skip):
+    if has_skip:
+        skip_ref, out_ref, acc_ref = rest
+    else:
+        out_ref, acc_ref = rest
+    C = x0_ref.shape[1]
+    O = out_ref.shape[1]
+    Wp = x0_ref.shape[3]
+    v = pl.program_id(1)
+    # xc row i is global row v*Ht - 1 + i; mask kills halo rows fetched
+    # via the clamped index maps at the edges, rows past H, and lane
+    # padding past the real width (the conv's zero padding).
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (Ht + 2, Wp), 0) + v * Ht - 1
+    coli = jax.lax.broadcasted_iota(jnp.int32, (Ht + 2, Wp), 1)
+    mask = ((rowi >= 0) & (rowi < H) & (coli < Wreal)).astype(jnp.float32)
+
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    def c_body(c, _):
+        top = xm_ref[0, c, Ht - 1:Ht, :]
+        bot = xp_ref[0, c, 0:1, :]
+        xc = jnp.concatenate([top, x0_ref[0, c], bot],
+                             axis=0).astype(jnp.float32)
+        xh = xc * a_ref[0, c] + bb_ref[0, c]
+        if act:
+            xh = xh * jax.nn.sigmoid(xh)
+        xh = xh * mask
+        # cols[dw][i, w] = xh[i, w + dw - 1]; lane wrap lands only in the
+        # masked pad region (col 0 pulls col Wp-1 == 0; col Wp-1 garbage
+        # stays in padding, which every consumer masks)
+        cols = (pltpu.roll(xh, shift=1, axis=1), xh,
+                pltpu.roll(xh, shift=Wp - 1, axis=1))
+
+        def o_body(o, _):
+            t = None
+            for dh in range(3):
+                for dw in range(3):
+                    wsc = w_ref[(dh * 3 + dw) * C + c, o]
+                    term = wsc * cols[dw][dh:dh + Ht]
+                    t = term if t is None else t + term
+            acc_ref[pl.ds(o, 1)] += t[None]
+            return 0
+
+        jax.lax.fori_loop(0, O, o_body, 0)
+        return 0
+
+    jax.lax.fori_loop(0, C, c_body, 0)
+
+    def w_body(o, _):
+        r = acc_ref[pl.ds(o, 1)] + bias_ref[0, o]
+        if has_skip:
+            r = r + skip_ref[0, pl.ds(o, 1)].astype(jnp.float32)
+        out_ref[0, pl.ds(o, 1)] = r.astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, O, w_body, 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("act", "ht", "interpret"))
+def planar_unit(x: jnp.ndarray, a: jnp.ndarray, bb: jnp.ndarray,
+                w: jnp.ndarray, bias: jnp.ndarray, skip=None, *,
+                act: bool = True, ht: int = 64,
+                interpret: bool = False) -> jnp.ndarray:
+    """conv3x3_pad1(silu(a*x + bb)) + bias [+ skip] over planar tensors.
+
+    x: [B, C, H, W]; a, bb: [B, C] f32 (identity: a=1, bb=0); w: [3, 3, C,
+    O] f32 (HWIO, matching Conv3x3 params); bias: [B, O] f32 (conv bias
+    plus any per-channel additive term, e.g. the time embedding); skip:
+    optional [B, O, H, W] added to the output. act=False skips the SiLU
+    (plain affine+conv, e.g. stem/upsample convs). Returns [B, O, H, W]
+    in x.dtype; f32 accumulation.
+    """
+    B, C, H, W = x.shape
+    O = w.shape[3]
+    Wp = _round_up(W, 128)
+    Ht = min(ht, _round_up(H, 8))
+    Hp = _round_up(H, Ht)
+    nb = Hp // Ht
+    xpad = jnp.pad(x, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)))
+    w2 = w.astype(jnp.float32).reshape(9 * C, O)
+    has_skip = skip is not None
+    args = [a.astype(jnp.float32), bb.astype(jnp.float32), w2,
+            bias.astype(jnp.float32), xpad, xpad, xpad]
+    in_specs = [
+        pl.BlockSpec((1, C), lambda b, v: (b, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, C), lambda b, v: (b, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((9 * C, O), lambda b, v: (0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, O), lambda b, v: (b, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, C, Ht, Wp),
+                     lambda b, v: (b, 0, jnp.maximum(v - 1, 0), 0)),
+        pl.BlockSpec((1, C, Ht, Wp), lambda b, v: (b, 0, v, 0)),
+        pl.BlockSpec((1, C, Ht, Wp),
+                     lambda b, v: (b, 0, jnp.minimum(v + 1, nb - 1), 0)),
+    ]
+    if has_skip:
+        args.append(jnp.pad(skip, ((0, 0), (0, 0), (0, Hp - H),
+                                   (0, Wp - W))))
+        in_specs.append(pl.BlockSpec((1, O, Ht, Wp),
+                                     lambda b, v: (b, 0, v, 0)))
+    out = pl.pallas_call(
+        functools.partial(_unit_kernel, Wreal=W, H=H, Ht=Ht, act=act,
+                          has_skip=has_skip),
+        grid=(B, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, O, Ht, Wp), lambda b, v: (b, 0, v, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, O, Hp, Wp), x.dtype),
+        scratch_shapes=[pltpu.VMEM((O, Ht, Wp), jnp.float32)],
+        interpret=interpret or not _on_tpu(),
+    )(*args)
+    return out[:, :, :H, :W]
