@@ -218,10 +218,14 @@ def fused_probe(model_fn: Callable, gd: GaussianDiffusion, spec: ProbeSpec,
 # the flagship preset's t_start=[15,15,15] stages shrink ~3x in HLO, which
 # cuts both XLA compile time and the executable fetch through the relay
 # (docs/PERF.md round-2 host: 348 s warmup even on a comp-cache HIT).
-# Env-gated (IPDM_ITER_SCAN=0 disables) for hardware A/B: the unrolled
-# lowering is the one validated on the round-2 bench host.
-import os as _os
-_ITER_SCAN = _os.environ.get("IPDM_ITER_SCAN", "1") != "0"
+# The scan lowering is unconditional for eligible specs: the round-4 host
+# A/B measured a runtime tie with the unrolled form (786 vs 790 ms for the
+# 45-eval img stage) with 2x faster compile and ~3x smaller HLO, so the
+# IPDM_ITER_SCAN env gate was removed (git history at the round-4
+# commits). The module flag remains ONLY so the parity tests can force
+# the unrolled form on uniform ts_lists (the unrolled path still serves
+# non-uniform ts_list / save_states specs).
+_ITER_SCAN = True
 
 
 def _guidance_update(spec: RestSpec, x, x0, ldct):

@@ -230,6 +230,12 @@ PLANAR_SMALLC = "stack"
 # IPDM_PLANAR_FUSED=0/1 forces. Read at trace time.
 PLANAR_FUSED = _os.environ.get("IPDM_PLANAR_FUSED", "auto")
 PLANAR_FUSED_HT = 64   # kernel H-block rows (tuning knob)
+# The fused unit runs on the VPU: its cycle cost is ~9·C·O/1024 per pixel,
+# so past C·O ≈ 112 the MXU im2col lowering's ~1 cycle/pixel M-stream wins
+# (round-4 trace: C=8 units run 1.3 ms at VPU peak; the C=24/32 units pay
+# 2-3.6 ms vs ~0.5-1.9 est. on the MXU). Units above the gate keep the
+# incumbent lowering with the GN affine+SiLU composed in XLA.
+PLANAR_FUSED_MAX_CO = 112
 
 
 def _planar_fused_on() -> bool:
@@ -281,7 +287,8 @@ class Conv3x3(nn.Module):
             assert not planar
             return _up2_conv(x, kernel, bias, self.dtype)
         s = self.strides
-        if planar and s == 1 and _planar_fused_on():
+        if (planar and s == 1 and _planar_fused_on()
+                and cin * self.features <= PLANAR_FUSED_MAX_CO):
             B = x.shape[0]
             if gn_affine is None:
                 af = jnp.ones((B, cin), jnp.float32)

@@ -123,7 +123,14 @@ def planar_unit(x: jnp.ndarray, a: jnp.ndarray, bb: jnp.ndarray,
     B, C, H, W = x.shape
     O = w.shape[3]
     Wp = _round_up(W, 128)
-    Ht = min(ht, _round_up(H, 8))
+    # fit the per-step VMEM footprint (3 double-buffered input blocks +
+    # f32 acc scratch + double-buffered out block [+ skip]) in ~10 MB of
+    # the 16 MB budget; the C=32 up-blocks at Wp=512 otherwise stack-OOM
+    ib = jnp.dtype(x.dtype).itemsize
+    per_row = (3 * C * ib * 2 + O * 4 + O * ib * 2
+               + (O * ib * 2 if skip is not None else 0)) * Wp
+    fit = max(8, int(10e6 / max(per_row, 1)) // 8 * 8)
+    Ht = min(ht, fit, _round_up(H, 8))
     Hp = _round_up(H, Ht)
     nb = Hp // Ht
     xpad = jnp.pad(x, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)))

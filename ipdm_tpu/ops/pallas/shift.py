@@ -386,206 +386,29 @@ def fp_shift_deposit_batched(rows: jnp.ndarray, s0: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
-# Fused OS-SART sweep: one kernel per (sweep, drive axis)
+# Fused OS-SART sweep (MXU tap-matrix variant)
 # ---------------------------------------------------------------------------
 #
-# The per-subset FP → correction → BP → update chain, fused into a single
+# The per-subset FP -> correction -> BP -> update chain, fused into a single
 # pallas_call with grid over the drive's subsets and the image persisting in
-# the revisited output block. Motivation: the unfused loop issues ~4 device
-# thunks per (subset, branch) — ~3200 per 10-sweep convert — and at the
-# ~0.5 ms/thunk sequencing floor measured on this chip that overhead alone
-# (~1.6 s) exceeds the kernels' combined compute time (~0.9 s). Fused: ~2
-# launches per sweep.
+# the revisited output block (vs the unfused loop's ~4 device thunks per
+# (subset, branch) at the ~0.5 ms/thunk sequencing floor). Requires
+# drive-pure subsets; the caller runs x-drive subsets, transposes, runs
+# y-drive subsets, transposes back (OS update order is a free choice; the
+# reference's is 2000 single-view subsets).
 #
-# Requires drive-pure subsets (every view in a grid step drives the same
-# image axis); the caller runs all x-drive subsets, transposes, runs the
-# y-drive subsets on the transposed image, and transposes back (OS update
-# order is a free choice — the reference's is 2000 single-view subsets).
+# A first fused variant (os_sart_sweep: per-row two-tap VPU deposits,
+# optional roll-table FP) was pruned after the round-4 host A/B measured it
+# 2.5x slower than this MXU form (331 vs 130 ms/sinogram, docs/PERF.md);
+# git history at the round-4 commits holds the kernel and its tests.
 #
-# Per grid step (one subset, Vp padded views):
-#   FP   : plane-deposit of image rows into T[Vp, B, L] (the _fp2 pattern;
-#          tap weights (1−frac, frac) — the area scale is folded into inv2)
-#   corr : T ← rf − T·inv2   (rf, inv2 pre-masked by the live-ray mask)
-#   BP   : per view, 128-rotation roll table of corr, then per-row window
-#          reads (the _bp2 pattern) accumulated DIRECTLY into the image as
-#          x[:, y, :] += lam · nrmi[y, :] · Σ_v taps  (nrmi = 1/bp_norm is
-#          per-subset, so the scaling distributes over views)
-#   clamp: x ← max(x, 0) (reference update_kernel nonnegativity)
-
-
-def _oss_kernel(s0_ref, s1_ref, frac_ref, lam_ref, rf_ref, inv2_ref,
-                nrmi_ref, x0_ref, x_ref, T, planes, *, fp_roll=False,
-                row_unroll=1):
-    Vp, B, L = T.shape
-    n = x_ref.shape[-1]
-    R = row_unroll if n % row_unroll == 0 else 1
-    W = -(-n // 128) * 128  # deposit width (row zero-padded to 128-mult)
-    lam = lam_ref[0, 0]
-    zf = lam * 0.0  # traced zero (see _bp2_kernel)
-
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        x_ref[...] = x0_ref[...]
-
-    def read_row(y):
-        row = x_ref[:, pl.ds(y, 1), :][:, 0, :]                # [B, n]
-        if W > n:
-            pad = jnp.broadcast_to(zf, (B, W - n)).astype(row.dtype)
-            row = jnp.concatenate([row, pad], axis=1)          # [B, W]
-        return row
-
-    # ---- FP: plane-deposit all rows of all views into T ----------------
-    def fp_view(vi, _):
-        planes[...] = jnp.broadcast_to(zf, planes.shape).astype(planes.dtype)
-
-        def row_body(y, _):
-            row = read_row(y)
-
-            def tap(s_ref_, w):
-                start = s_ref_[0, vi, y]
-                base = pl.multiple_of((start // 128) * 128, 128)
-                rem = start - base
-                cur = planes[pl.ds(rem, 1), :, pl.ds(base, W)]
-                planes[pl.ds(rem, 1), :, pl.ds(base, W)] = (
-                    cur + w * row[None])
-
-            f = frac_ref[0, vi, y]
-            tap(s0_ref, 1.0 - f)
-            tap(s1_ref, f)
-            return 0
-
-        jax.lax.fori_loop(0, n, row_body, 0)
-
-        def comb_body(k, acc):
-            pk = planes[pl.ds(k, 1)][0]                        # [B, L]
-            return acc + pltpu.roll(pk, shift=k, axis=1)
-
-        z0 = jnp.broadcast_to(zf, (B, L)).astype(T.dtype)
-        T[pl.ds(vi, 1)] = jax.lax.fori_loop(0, 128, comb_body, z0)[None]
-        return 0
-
-    # ---- FP variant: direct roll-deposit into T (no plane scratch) -----
-    def fp_view_roll(vi, _):
-        T[pl.ds(vi, 1)] = jnp.broadcast_to(zf, (1, B, L)).astype(T.dtype)
-
-        def row_body(yb, _):
-            for r in range(R):  # static unroll: amortize loop overhead
-                y = yb * R + r
-                row = read_row(y)
-                zpad = jnp.broadcast_to(zf, (B, 128)).astype(row.dtype)
-                padded = jnp.concatenate([row, zpad], axis=1)  # [B, W+128]
-
-                def tap(s_ref_, w):
-                    start = s_ref_[0, vi, y]
-                    base = pl.multiple_of((start // 128) * 128, 128)
-                    rem = start - base
-                    rolled = pltpu.roll(w * padded, shift=rem, axis=1)
-                    cur = T[pl.ds(vi, 1), :, pl.ds(base, W + 128)]
-                    T[pl.ds(vi, 1), :, pl.ds(base, W + 128)] = (
-                        cur + rolled[None])
-
-                f = frac_ref[0, vi, y]
-                tap(s0_ref, 1.0 - f)
-                tap(s1_ref, f)
-            return 0
-
-        jax.lax.fori_loop(0, n // R, row_body, 0)
-        return 0
-
-    jax.lax.fori_loop(0, Vp, fp_view_roll if fp_roll else fp_view, 0)
-
-    # ---- correction (elementwise, pre-masked tables) -------------------
-    T[...] = rf_ref[0] - T[...] * inv2_ref[0][:, None, :]
-
-    # ---- BP: roll-table per view, accumulate λ·nrmi·taps into x --------
-    def bp_view(vi, _):
-        sig = T[pl.ds(vi, 1)][0]                               # [B, L]
-
-        def roll_body(k, _):
-            planes[pl.ds(k, 1)] = pltpu.roll(
-                sig, shift=L - k, axis=1)[None]
-            return 0
-
-        jax.lax.fori_loop(0, 128, roll_body, 0)
-
-        def row_body(yb, _):
-            for r in range(R):  # static unroll: amortize loop overhead
-                y = yb * R + r
-                s0 = s0_ref[0, vi, y]
-                s1 = s1_ref[0, vi, y]
-                f = frac_ref[0, vi, y]
-                a0 = pl.multiple_of((s0 // 128) * 128, 128)
-                a1 = pl.multiple_of((s1 // 128) * 128, 128)
-                w0 = planes[pl.ds(s0 - a0, 1), :, pl.ds(a0, n)]  # [1, B, n]
-                w1 = planes[pl.ds(s1 - a1, 1), :, pl.ds(a1, n)]
-                acc = (1.0 - f) * w0[0] + f * w1[0]              # [B, n]
-                g = lam * nrmi_ref[0, pl.ds(y, 1), :]            # [1, n]
-                cur = x_ref[:, pl.ds(y, 1), :]                   # [B, 1, n]
-                x_ref[:, pl.ds(y, 1), :] = cur + (g * acc)[:, None, :]
-            return 0
-
-        jax.lax.fori_loop(0, n // R, row_body, 0)
-        return 0
-
-    jax.lax.fori_loop(0, Vp, bp_view, 0)
-
-    # ---- nonnegativity clamp (per subset, reference update_kernel) -----
-    x_ref[...] = jnp.maximum(x_ref[...], zf)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret", "fp_roll",
-                                              "row_unroll"))
-def os_sart_sweep(x: jnp.ndarray, rf: jnp.ndarray, inv2: jnp.ndarray,
-                  frac: jnp.ndarray, s0: jnp.ndarray, s1: jnp.ndarray,
-                  nrmi: jnp.ndarray, lam: jnp.ndarray,
-                  interpret: bool = False,
-                  fp_roll: bool = False,
-                  row_unroll: int = 1) -> jnp.ndarray:
-    """One OS-SART sweep over a drive's subsets, fused in one kernel.
-
-    x: [B, n, n] drive-frame image (rows are deposit rows). rf: [S, Vp, B, L]
-    pre-masked measured ratios on the flat fine grid; inv2: [S, Vp, L]
-    pre-masked scale·(1/n_fine); frac: [S, Vp, n] tap fractions; s0, s1:
-    [S, Vp, n] int32 flat window starts in [0, L−Wn−128]; nrmi: [S, n, n]
-    per-subset 1/bp_norm (0 where dead); lam: scalar relaxation for this
-    sweep. Returns the updated [B, n, n] image.
-    """
-    S, Vp, B, L = rf.shape
-    n = x.shape[-1]
-    assert L % 128 == 0
-    lam2 = jnp.reshape(jnp.asarray(lam, x.dtype), (1, 1))
-    return pl.pallas_call(
-        functools.partial(_oss_kernel, fp_roll=fp_roll,
-                          row_unroll=row_unroll),
-        grid=(S,),
-        in_specs=[
-            pl.BlockSpec((1, Vp, n), lambda s: (s, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Vp, n), lambda s: (s, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Vp, n), lambda s: (s, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda s: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, Vp, B, L), lambda s: (s, 0, 0, 0)),
-            pl.BlockSpec((1, Vp, L), lambda s: (s, 0, 0)),
-            pl.BlockSpec((1, n, n), lambda s: (s, 0, 0)),
-            pl.BlockSpec((B, n, n), lambda s: (0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((B, n, n), lambda s: (0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, n, n), x.dtype),
-        scratch_shapes=[pltpu.VMEM((Vp, B, L), x.dtype),
-                        pltpu.VMEM((128, B, L), x.dtype)],
-        interpret=interpret or not _on_tpu(),
-    )(s0, s1, frac, lam2, rf, inv2, nrmi, x)
-
-
 # ---------------------------------------------------------------------------
 # Fused OS-SART sweep, MXU variant: per-block tap matrices
 # ---------------------------------------------------------------------------
 #
-# os_sart_sweep's inner loops issue ~2 sequential VPU ops per (view, image
-# row, tap) — ~2M ops/sweep at the ~100 ns op-sequencing floor. This variant
+# Per-row two-tap VPU deposits would issue ~2 sequential VPU ops per (view,
+# image row, tap) — ~2M ops/sweep at the ~100 ns op-sequencing floor (the
+# pruned os_sart_sweep kernel did exactly that). This variant
 # exploits the AFFINE structure of the offsets: on a Kf=1 fine grid (ray
 # spacing = the view's per-row t advance) the deposit/read start s(y) is
 # monotone with |Δs| ≤ 1 per row, so any 128-row block spans ≤ 128 fine bins.
@@ -725,11 +548,16 @@ def os_sart_sweep_mm(x: jnp.ndarray, rf: jnp.ndarray, inv2: jnp.ndarray,
                      bf16: bool = False) -> jnp.ndarray:
     """One OS-SART sweep over a drive's subsets — MXU tap-matrix variant.
 
-    Same contract as os_sart_sweep, with the REQUIREMENT that the plan was
-    built on a Kf=1 fine grid (per-view flat starts monotone, |Δs| ≤ 1 per
-    image row — any R-row block spans ≤ R ≤ 128 bins past its aligned base).
-    s0/frac: [S, Vp, n] (s0 rides in BOTH SMEM — scalar base reads — and
-    VMEM — vector tap-matrix builds). The s1 table is implicit (s0 + 1).
+    x: [B, n, n] drive-frame image (rows are deposit rows). rf:
+    [S, Vp, B, L] pre-masked measured ratios on the flat fine grid; inv2:
+    [S, Vp, L] pre-masked scale·(1/n_fine); frac: [S, Vp, n] tap
+    fractions; nrmi: [S, n, n] per-subset 1/bp_norm (0 where dead); lam:
+    scalar relaxation. Returns the updated [B, n, n] image. REQUIRES a
+    plan built on a Kf=1 fine grid (per-view flat starts monotone,
+    |Δs| ≤ 1 per image row — any R-row block spans ≤ R ≤ 128 bins past
+    its aligned base). s0: [S, Vp, n] int32 flat window starts (rides in
+    BOTH SMEM — scalar base reads — and VMEM — vector tap-matrix builds).
+    The s1 table is implicit (s0 + 1).
     """
     S, Vp, B, L = rf.shape
     n = x.shape[-1]

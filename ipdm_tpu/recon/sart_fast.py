@@ -64,21 +64,17 @@ import numpy as np
 
 from ipdm_tpu.ops.pallas.shift import (VB, anterp_taps,
                                        bp_shift_accumulate_batched,
-                                       fp_plane_deposit, os_sart_sweep,
-                                       os_sart_sweep_mm)
+                                       fp_plane_deposit, os_sart_sweep_mm)
 from ipdm_tpu.ops.pallas import shift as _shift
 from ipdm_tpu.recon.fbp import FBPGeometry
 from ipdm_tpu.recon.fbp_fast import _FastPlan, _plan_for, _rebin
 from ipdm_tpu.recon.sart import nsl0_tv_grad
 
-# static row-unroll factor for the fused sweep kernel's row loops
-# (trace-time, A/B probes)
-_OSS_ROW_UNROLL = 1
-
-# default the MXU tap-matrix sweep kernel on (IPDM_SART_MM=0 falls back to
-# the per-row VPU sweep kernel for A/B)
+# The fused path always runs the MXU tap-matrix sweep kernel: the per-row
+# VPU sweep variant (os_sart_sweep + IPDM_SART_MM gate) was pruned after
+# the round-4 host A/B measured it 2.5x slower (331 vs 130 ms/sinogram,
+# docs/PERF.md); git history at the round-4 commits.
 import os as _os
-_MM_DEFAULT = _os.environ.get("IPDM_SART_MM", "1") != "0"
 # views stacked per roll/realign op in the MM kernel (VMEM-bound: the
 # 128-residue plane scratch is [128, G, B, L] f32). Vpad is a multiple of
 # VB=8, so 2/4/8 are all legal; G=4 halves the per-sweep roll-op count vs
@@ -537,16 +533,14 @@ def _compute_norms_fused(sp: _SartFastPlan):
                                  0.0))
         per_drive[key] = dict(valid=valid, inv2=inv2,
                               nrmi=jnp.stack(nrm),
-                              s0=jnp.asarray(s0), s1=jnp.asarray(s1),
+                              s0=jnp.asarray(s0),
                               frac=jnp.asarray(frac))
     return (nt_full, per_drive)
 
 
-@partial(jax.jit, static_argnames=("sp", "nstart", "ntv", "fp_roll", "mm",
-                                   "mm_bf16"))
+@partial(jax.jit, static_argnames=("sp", "nstart", "ntv", "mm_bf16"))
 def _sart_iterate_fused(sp: _SartFastPlan, par: jnp.ndarray, norms,
                         nstart: int, ntv: int,
-                        fp_roll: bool = False, mm: bool = False,
                         mm_bf16: bool = False) -> jnp.ndarray:
     """OS-SART via the fused drive-blocked sweep kernel: per sweep, ONE
     os_sart_sweep launch per drive axis (grid over that drive's subsets)
@@ -579,13 +573,9 @@ def _sart_iterate_fused(sp: _SartFastPlan, par: jnp.ndarray, norms,
 
     def drive_sweep(x, key, lam):
         d = per_drive[key]
-        if mm:
-            return os_sart_sweep_mm(x, rf[key], d["inv2"], d["frac"],
-                                    d["s0"], d["nrmi"], lam, G=_MM_G,
-                                    bf16=mm_bf16)
-        return os_sart_sweep(x, rf[key], d["inv2"], d["frac"], d["s0"],
-                             d["s1"], d["nrmi"], lam, fp_roll=fp_roll,
-                             row_unroll=_OSS_ROW_UNROLL)
+        return os_sart_sweep_mm(x, rf[key], d["inv2"], d["frac"],
+                                d["s0"], d["nrmi"], lam, G=_MM_G,
+                                bf16=mm_bf16)
 
     def sweep(carry, it):
         x, lam, alpha, sigma = carry
@@ -693,26 +683,21 @@ def _sart_iterate(sp: _SartFastPlan, par: jnp.ndarray, norms,
 def sart_fast_convert(pj: jnp.ndarray, g: FBPGeometry, nstart: int = 10,
                       ntv: int = 0, nsubsets: int = 40,
                       sample_rate: int = 1, fold: bool = True,
-                      fused: bool = True, fp_roll: bool = False,
-                      mm: bool = None,
+                      fused: bool = True,
                       mm_bf16: bool = False) -> jnp.ndarray:
     """[B, na, nr] fan sinograms → [B, n, n] images in fbp_convert
     orientation. Drop-in fast ART for the Convertor (reference semantics:
     recons_torch nstart sweeps, ntv TV steps, sample_rate view subsampling
     — TASART2DNSL0_PyAPI.cpp:33-57, re-derived in folded rebinned-parallel
     geometry with Pallas projectors). The whole batch reconstructs in one
-    jitted scan; `fused=True` runs the drive-blocked fused sweep kernel
-    (os_sart_sweep), `fused=False` the unfused per-subset kernel chain.
-    `mm=True` (default, env IPDM_SART_MM=0 disables) uses the MXU
-    tap-matrix sweep kernel on a Kf=1 fine grid (os_sart_sweep_mm)."""
+    jitted scan; `fused=True` (default) runs the MXU tap-matrix sweep
+    kernel on a Kf=1 fine grid (os_sart_sweep_mm), `fused=False` the
+    unfused per-subset kernel chain (the cross-validation fallback)."""
     sample_rate = int(sample_rate)
     fold = bool(fold) and g.M % 2 == 0
     fused = bool(fused)
-    if mm is None:
-        mm = fused and _MM_DEFAULT
-    mm = bool(mm) and fused
     sp = _splan_for(g, nsubsets, fold=fold, sample_rate=sample_rate,
-                    kf=1 if mm else None)
+                    kf=1 if fused else None)
     norms = _norms_for(sp, fused=fused)
     pj = pj[:, :, ::-1]                      # detector flip (fbp convention)
     par = _rebin(pj, sp.p)                   # [B, M, Nt]
@@ -723,7 +708,6 @@ def sart_fast_convert(pj: jnp.ndarray, g: FBPGeometry, nstart: int = 10,
         par = par[:, ::sample_rate]
     if fused:
         img = _sart_iterate_fused(sp, par, norms, int(nstart), int(ntv),
-                                  fp_roll=bool(fp_roll), mm=mm,
                                   mm_bf16=bool(mm_bf16))
     else:
         img = _sart_iterate(sp, par, norms, int(nstart), int(ntv))

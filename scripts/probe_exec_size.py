@@ -10,7 +10,7 @@ the real TPU and reports the per-stage cache entry sizes:
   proj   — fused_probe_and_iters, adaptive per-pixel λ
   sart   — batched(3) OS-SART convert
   imgU   — not an argv stage: rerun `img` in a fresh process with
-           IPDM_ITER_SCAN=0 to measure the unrolled lowering
+           guided._ITER_SCAN=False (monkeypatch; the env gate was removed in round 4) to measure the unrolled lowering
 
 Run ON TPU (no other python processes): python scripts/probe_exec_size.py
 """
@@ -84,9 +84,9 @@ def main():
     bad = [w for w in which if w not in known]
     if bad:
         # 'imgU' from the docstring means: re-run the img stage in a fresh
-        # process with IPDM_ITER_SCAN=0 — it is an env recipe, not a stage.
+        # process with guided._ITER_SCAN monkeypatched False — not a stage.
         sys.exit(f"unknown stage(s) {bad}; choose from {list(known)} "
-                 "(imgU = rerun 'img' with IPDM_ITER_SCAN=0)")
+                 "(imgU = rerun 'img' with guided._ITER_SCAN=False)")
     before = entries()
 
     if "img" in which:

@@ -3,8 +3,8 @@
 1. host character: device kind + tiny-op chained dispatch
 2. re-baseline proj/img eval (chained scan, bf16, current defaults)
 3. batch anomaly: UNet eval B in {1,2,4} bf16 (per-slice cost)
-4. SART sweep: mm=True (MXU tap-matrix) vs mm=False (shift sweep), B=3
-5. sampler lowering: fused_iters scan vs unrolled (IPDM_ITER_SCAN),
+4. SART sweep: fused MXU tap-matrix vs unfused per-subset chain, B=3
+5. sampler lowering: fused_iters scan vs unrolled (guided._ITER_SCAN),
    img-stage spec (3x15 steps, constant lambda), 512^2
 
 Honest relay timing: dependency-chained calls ended by a scalar readback
@@ -115,8 +115,11 @@ def section_sart_mm():
         log(f"sart {tag}: {dt*1e3:.0f} ms/convert(B=3), "
             f"{dt/3*1e3:.0f} ms/sinogram")
 
-    run("mm=1 (MXU tap-matrix)", mm=True)
-    run("mm=0 (shift sweep)", mm=False)
+    # round-4 A/B record: mm=1 130 / mm=0 331 ms/sinogram -> the
+    # per-row VPU sweep kernel was pruned; unfused chain kept as the
+    # cross-validation fallback
+    run("fused (MXU tap-matrix)", fused=True)
+    run("unfused per-subset chain", fused=False)
 
 
 def section_iter_scan():
@@ -157,7 +160,7 @@ def section_iter_scan():
     y_scan = run("scan (default)")
     G._ITER_SCAN = False
     fused_iters.clear_cache()
-    y_unroll = run("unrolled (IPDM_ITER_SCAN=0)")
+    y_unroll = run("unrolled (_ITER_SCAN=False)")
     G._ITER_SCAN = True
     fused_iters.clear_cache()
     log(f"iters lowering max|d|: {np.max(np.abs(y_scan - y_unroll)):.2e}")

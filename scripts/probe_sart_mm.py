@@ -49,9 +49,9 @@ def check():
             * (2 + np.sin(3 * a))[:, None]).astype(np.float32)
     pjc = jnp.asarray(np.stack([base, base * 0.7, base * 1.2]))
     old = np.asarray(sart_fast_convert(pjc, SIEMENS_FBP, nstart=10,
-                                       nsubsets=40, mm=False))
+                                       nsubsets=40, fused=False))
     new = np.asarray(sart_fast_convert(pjc, SIEMENS_FBP, nstart=10,
-                                       nsubsets=40, mm=True))
+                                       nsubsets=40, fused=True))
     assert np.all(np.isfinite(new)), "mm output not finite"
     for b in range(3):
         r = np.corrcoef(old[b].ravel(), new[b].ravel())[0, 1]
@@ -62,11 +62,13 @@ def check():
 
 
 for arg in sys.argv[1:]:
-    if arg == "old":
-        run("fused(old)", mm=False)
+    # ("old" — the per-row VPU sweep kernel — was pruned in round 4 after
+    # losing the host A/B 331 vs 130 ms/sinogram; git history has it)
+    if arg == "unfused":
+        run("unfused", fused=False)
     elif arg == "mm":
-        run("mm", mm=True)
+        run("mm", fused=True)
     elif arg == "mmbf16":
-        run("mm_bf16", mm=True, mm_bf16=True)
+        run("mm_bf16", fused=True, mm_bf16=True)
     elif arg == "check":
         check()

@@ -107,56 +107,6 @@ def test_simulate_ldct_fast_path(setup):
     assert r > 0.75, f"corr {r}"
 
 
-@pytest.mark.parametrize("fp_roll", [False, True])
-def test_os_sart_sweep_semantics(fp_roll):
-    """The fused sweep kernel == the naive per-subset FP→corr→BP→update
-    loop (interpret mode on CPU), for both FP deposit patterns."""
-    from ipdm_tpu.ops.pallas.shift import os_sart_sweep
-    rng = np.random.RandomState(0)
-    S, Vp, B, n, L = 3, 8, 2, 32, 512
-    W = 128  # deposit width (n rounded up to 128)
-    lam = 0.3
-    x0 = rng.rand(B, n, n).astype(np.float32)
-    rf = rng.rand(S, Vp, B, L).astype(np.float32)
-    inv2 = rng.rand(S, Vp, L).astype(np.float32)
-    frac = rng.rand(S, Vp, n).astype(np.float32)
-    s0 = rng.randint(0, L - W - 128, (S, Vp, n)).astype(np.int32)
-    s1 = np.minimum(s0 + 1, L - W - 129).astype(np.int32)
-    nrmi = rng.rand(S, n, n).astype(np.float32)
-    got = np.asarray(os_sart_sweep(
-        jnp.asarray(x0), jnp.asarray(rf), jnp.asarray(inv2),
-        jnp.asarray(frac), jnp.asarray(s0), jnp.asarray(s1),
-        jnp.asarray(nrmi), jnp.float32(lam), interpret=True,
-        fp_roll=fp_roll))
-    got_ru = np.asarray(os_sart_sweep(
-        jnp.asarray(x0), jnp.asarray(rf), jnp.asarray(inv2),
-        jnp.asarray(frac), jnp.asarray(s0), jnp.asarray(s1),
-        jnp.asarray(nrmi), jnp.float32(lam), interpret=True,
-        fp_roll=fp_roll, row_unroll=4))
-    np.testing.assert_allclose(got_ru, got, rtol=1e-6, atol=1e-6)
-
-    x = x0.copy()
-    for s in range(S):
-        T = np.zeros((Vp, B, L), np.float32)
-        for v in range(Vp):
-            for y in range(n):
-                row = np.zeros((B, W), np.float32)
-                row[:, :n] = x[:, y, :]
-                T[v, :, s0[s, v, y]:s0[s, v, y] + W] += \
-                    (1 - frac[s, v, y]) * row
-                T[v, :, s1[s, v, y]:s1[s, v, y] + W] += frac[s, v, y] * row
-        corr = rf[s] - T * inv2[s][:, None, :]
-        for v in range(Vp):
-            for y in range(n):
-                acc = ((1 - frac[s, v, y])
-                       * corr[v, :, s0[s, v, y]:s0[s, v, y] + n]
-                       + frac[s, v, y]
-                       * corr[v, :, s1[s, v, y]:s1[s, v, y] + n])
-                x[:, y, :] += lam * nrmi[s, y, :][None] * acc
-        x = np.maximum(x, 0.0)
-    np.testing.assert_allclose(got, x, rtol=2e-4, atol=2e-4)
-
-
 def test_anterp_taps_semantics():
     """The windowed multi-tap resample kernel == the direct per-element
     gather sum out[v,:,d] = Σ_k W[v,k,d]·P[v,:,qi0[v,d]+k], on monotone
@@ -234,16 +184,19 @@ def test_os_sart_sweep_mm_semantics(G):
 
 
 @pytest.mark.slow
-def test_mm_sweep_matches_fused(setup):
-    """The MXU tap-matrix sweep (Kf=1 fine grid) reconstructs the same
-    image as the incumbent per-row sweep kernel, and still recovers the
-    phantom at the exact path's convergence rate."""
+def test_mm_sweep_matches_unfused(setup):
+    """The MXU tap-matrix sweep (Kf=1 fine grid, drive-pure OS ordering)
+    reconstructs the same image as the unfused per-subset kernel chain (a
+    different but equivalent subset schedule on the natural-Kf grid), and
+    still recovers the phantom at the exact path's convergence rate.
+    (The intermediate per-row VPU sweep kernel this used to A/B against
+    was pruned in round 4 — docs/PERF.md.)"""
     fan, g, ph, proj = setup
     pj = jnp.asarray(proj[None])
     old = np.asarray(sart_fast_convert(pj, g, nstart=8, nsubsets=18,
-                                       mm=False))[0]
+                                       fused=False))[0]
     new = np.asarray(sart_fast_convert(pj, g, nstart=8, nsubsets=18,
-                                       mm=True))[0]
+                                       fused=True))[0]
     c = 4
     assert _psnr(old[c:-c, c:-c], new[c:-c, c:-c]) > 25.0
     p = _psnr(ph.T[c:-c, c:-c], new[c:-c, c:-c])
@@ -273,22 +226,6 @@ def test_fp_plane_deposit_semantics():
             want[v, :, s0[v, y]:s0[v, y] + W] += w0[v, y] * rows[y]
             want[v, :, s1[v, y]:s1[v, y] + W] += w1[v, y] * rows[y]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-
-
-@pytest.mark.slow
-def test_fused_sweep_matches_unfused(setup):
-    """The fused drive-blocked sweep kernel (os_sart_sweep) reconstructs
-    the same image as the unfused per-subset kernel chain (the drive-pure
-    OS ordering is a different but equivalent subset schedule)."""
-    fan, g, ph, proj = setup
-    pj = jnp.asarray(proj[None])
-    a = np.asarray(sart_fast_convert(pj, g, nstart=4, nsubsets=18,
-                                     fused=False))[0]
-    b = np.asarray(sart_fast_convert(pj, g, nstart=4, nsubsets=18,
-                                     fused=True, mm=False))[0]
-    c = 4
-    p = _psnr(a[c:-c, c:-c], b[c:-c, c:-c])
-    assert p > 35.0, f"fused-vs-unfused PSNR {p}"
 
 
 @pytest.mark.slow
