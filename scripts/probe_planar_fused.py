@@ -24,9 +24,11 @@ k1 = jax.random.PRNGKey(0)
 tvec = jnp.zeros((1,), jnp.int32)
 
 
-def build_and_time(kind, fused, ht=64, reps=8):
+def build_and_time(kind, fused, ht=64, reps=8, max_co=None):
     U.PLANAR_FUSED = "1" if fused else "0"
     U.PLANAR_FUSED_HT = ht
+    if max_co is not None:
+        U.PLANAR_FUSED_MAX_CO = max_co
     if kind == "proj":
         model = U.UNetModel(in_channels=1, model_channels=64,
                             out_channels=1, num_res_blocks=2,
@@ -80,4 +82,9 @@ if which in ("all", "img"):
 if which == "ht":
     for ht in (32, 64, 128, 256):
         build_and_time("proj", True, ht=ht)
+if which == "co":
+    # per-unit engine gate sweep: 0=incumbent everywhere, 112=small-CO
+    # units fused, big ones einsum+composed affine, huge=all fused
+    for co in (112, 10 ** 9, 160, 64):
+        build_and_time("proj", True, max_co=co)
 print("done", flush=True)
