@@ -230,12 +230,15 @@ PLANAR_SMALLC = "stack"
 # IPDM_PLANAR_FUSED=0/1 forces. Read at trace time.
 PLANAR_FUSED = _os.environ.get("IPDM_PLANAR_FUSED", "auto")
 PLANAR_FUSED_HT = 64   # kernel H-block rows (tuning knob)
-# The fused unit runs on the VPU: its cycle cost is ~9·C·O/1024 per pixel,
-# so past C·O ≈ 112 the MXU im2col lowering's ~1 cycle/pixel M-stream wins
-# (round-4 trace: C=8 units run 1.3 ms at VPU peak; the C=24/32 units pay
-# 2-3.6 ms vs ~0.5-1.9 est. on the MXU). Units above the gate keep the
-# incumbent lowering with the GN affine+SiLU composed in XLA.
-PLANAR_FUSED_MAX_CO = 112
+# The fused unit runs on the VPU (~9·C·O/1024 cycles/pixel), so for large
+# C·O the MXU einsum lowering wins. Round-4 host sweep of the gate on the
+# full proj eval (scripts/probe_planar_fused.py co): incumbent 64.9,
+# all-fused 66.7, gate@160 **59.8**, gate@112 100.1, gate@64 103.4
+# ms/eval — the fused kernel is a big win exactly on the mid-CO (96-128)
+# full-res units where einsum is pathological, and a loss on the
+# 192-512-CO units where einsum's M-stream matmul wins. Units above the
+# gate use the einsum lowering with the GN affine+SiLU composed in XLA.
+PLANAR_FUSED_MAX_CO = 160
 
 
 def _planar_fused_on() -> bool:
