@@ -55,6 +55,7 @@ def _unit_kernel(a_ref, bb_ref, w_ref, bias_ref, xm_ref, x0_ref, xp_ref,
     C = x0_ref.shape[1]
     O = out_ref.shape[1]
     Wp = x0_ref.shape[3]
+    b = pl.program_id(0)
     v = pl.program_id(1)
     # xc row i is global row v*Ht - 1 + i; mask kills halo rows fetched
     # via the clamped index maps at the edges, rows past H, and lane
@@ -70,7 +71,7 @@ def _unit_kernel(a_ref, bb_ref, w_ref, bias_ref, xm_ref, x0_ref, xp_ref,
         bot = xp_ref[0, c, 0:1, :]
         xc = jnp.concatenate([top, x0_ref[0, c], bot],
                              axis=0).astype(jnp.float32)
-        xh = xc * a_ref[0, c] + bb_ref[0, c]
+        xh = xc * a_ref[b, c] + bb_ref[b, c]
         if act:
             xh = xh * jax.nn.sigmoid(xh)
         xh = xh * mask
@@ -96,7 +97,7 @@ def _unit_kernel(a_ref, bb_ref, w_ref, bias_ref, xm_ref, x0_ref, xp_ref,
     jax.lax.fori_loop(0, C, c_body, 0)
 
     def w_body(o, _):
-        r = acc_ref[pl.ds(o, 1)] + bias_ref[0, o]
+        r = acc_ref[pl.ds(o, 1)] + bias_ref[b, o]
         if has_skip:
             r = r + skip_ref[0, pl.ds(o, 1)].astype(jnp.float32)
         out_ref[0, pl.ds(o, 1)] = r.astype(out_ref.dtype)
@@ -139,13 +140,13 @@ def planar_unit(x: jnp.ndarray, a: jnp.ndarray, bb: jnp.ndarray,
     args = [a.astype(jnp.float32), bb.astype(jnp.float32), w2,
             bias.astype(jnp.float32), xpad, xpad, xpad]
     in_specs = [
-        pl.BlockSpec((1, C), lambda b, v: (b, 0),
+        pl.BlockSpec((B, C), lambda b, v: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, C), lambda b, v: (b, 0),
+        pl.BlockSpec((B, C), lambda b, v: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((9 * C, O), lambda b, v: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, O), lambda b, v: (b, 0),
+        pl.BlockSpec((B, O), lambda b, v: (0, 0),
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, C, Ht, Wp),
                      lambda b, v: (b, 0, jnp.maximum(v - 1, 0), 0)),
