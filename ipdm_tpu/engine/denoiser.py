@@ -173,6 +173,13 @@ class ProgressiveDomainDenoiser:
         if opt.mesh_shape:
             from ipdm_tpu.parallel import make_mesh
             self.mesh = make_mesh(opt.mesh_shape, ("data", "view"))
+            # GSPMD cannot partition the fused planar pallas units
+            # (custom calls): under a mesh the samplers trace with the
+            # kernel off — the per-channel XLA lowering partitions fine
+            # (halo exchanges/psums inserted automatically).
+            from ipdm_tpu.models import unet as _unet
+            if _unet.PLANAR_FUSED == "auto":
+                _unet.PLANAR_FUSED = "0"
         else:
             self.mesh = None
 

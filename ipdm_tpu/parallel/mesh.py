@@ -238,7 +238,16 @@ def make_spatial_sharded_apply(model, mesh: Mesh, axis: str = "data"):
     in_x = NamedSharding(mesh, P(None, axis, None, None))
 
     def _apply(params, x, t):
-        return model.apply(params, x, t)
+        # trace with the fused planar pallas unit off: GSPMD cannot
+        # partition custom calls, and the per-channel XLA lowering gets
+        # its halo exchanges inserted automatically
+        from ipdm_tpu.models import unet as _unet
+        old = _unet.PLANAR_FUSED
+        _unet.PLANAR_FUSED = "0"
+        try:
+            return model.apply(params, x, t)
+        finally:
+            _unet.PLANAR_FUSED = old
 
     return jax.jit(_apply,
                    in_shardings=(rep, in_x, rep),
