@@ -56,6 +56,7 @@ phantoms in tests/test_sart_fast.py.
 from __future__ import annotations
 
 import math
+import functools
 from functools import partial
 
 import jax
@@ -312,15 +313,26 @@ class _SartFastPlan:
         T = self._fp_group_fine(img, grp)[:grp.V]              # [V, B, L]
         Mfine = Kf * grp.Lq
         Wt = 2 * Kf + 2
-        # Kf=1 flat layout is monotone in the fine index → the anterpolation
-        # is a windowed multi-tap resample; one Pallas kernel replaces the
-        # scalar-path gathers (take_along_axis measured 1.06 s for the 512²
-        # projection; the kernel path ~its roll-table BP cousin's cost).
-        # Contract: within-128-block index span < _WTR_D − Wt.
-        span_ok = (Kf == 1 and grp.V > 0
+        # The anterpolation onto the t bins is a windowed multi-tap
+        # resample of the fine rays in m-order; one Pallas kernel
+        # (anterp_taps) replaces the scalar-path gathers
+        # (take_along_axis measured 1.06 s for the 512² projection).
+        # For Kf > 1 the flat layout interleaves k-planes (flat
+        # f = (m%K)·Lq + m//K), so m-order is recovered EXACTLY by a
+        # [K, Lq]→[Lq, K] transpose + reshape (A[k,j] is ray jK+k) —
+        # pure data movement, no gathers. Contract: within-128-block
+        # index span < _WTR_D − Wt.
+        span_ok = (grp.V > 0
                    and 128.0 / max(float(np.min(grp.step)), 1e-6) + Wt
                    < _shift._WTR_D - 2)
         if span_ok:
+            if Kf == 1:
+                Tm = T[:, :, :Mfine]
+            else:
+                Tm = (T[:, :, :Kf * grp.Lq]
+                      .reshape(grp.V, B, Kf, grp.Lq)
+                      .transpose(0, 1, 3, 2)
+                      .reshape(grp.V, B, Mfine))               # m-order
             Lp = _round_up(p.Nt, 128)
             d = jnp.minimum(jnp.arange(Lp, dtype=jnp.float32),
                             float(p.Nt - 1))[None, :]          # [1, Lp]
@@ -337,7 +349,8 @@ class _SartFastPlan:
             W = W * (midx < Mfine)
             if Lp > p.Nt:                                      # padded bins
                 W = W * (jnp.arange(Lp) < p.Nt)
-            Tp = jnp.pad(T, ((0, 0), (0, 0), (0, _shift._WTR_WIN)))
+            Mpad = _round_up(Mfine, 128) + _shift._WTR_WIN
+            Tp = jnp.pad(Tm, ((0, 0), (0, 0), (0, Mpad - Mfine)))
             out = anterp_taps(Tp, qi0, W.astype(jnp.float32))[:, :, :p.Nt]
             return jnp.swapaxes(out, 0, 1)                     # [B, V, Nt]
         # general-Kf fallback: the flat fine layout interleaves k-planes
@@ -757,27 +770,48 @@ def _inverse_rebin(par: jnp.ndarray, p: _FastPlan, n_det: int,
     return jnp.swapaxes(fan, 1, 2)             # [B, M, n_det]
 
 
+@functools.lru_cache(maxsize=8)
+def _project_fast_fn(g: FBPGeometry, n_det: int, nda0: float, da: float):
+    """Build + jit the projection program once per geometry: the jitted
+    closure used to be recreated per call, costing ~0.8 s of host
+    retrace/lowering per projection (round-4 trace, docs/PERF.md)."""
+    fold = g.M % 2 == 0
+    # natural-Kf plan (full ray-sampling accuracy); the k-plane
+    # de-interleave in _fp_group keeps the anterpolation on the
+    # anterp_taps Pallas kernel (the old plan fell back to 14
+    # windowed-gather fusions at 2 GB/s — 77 ms of the projection)
+    sp = _splan_for(g, 1, fold=fold)
+    # view reassembly as a one-hot permutation matmul: the .at[].set
+    # scatter ran at 2 GB/s (2 x 12 ms); the MXU does it in ~0.1 ms
+    nv = len(sp.view_ids)
+    perm = np.zeros((nv,), np.int64)
+    order = np.concatenate([sp.gx_all.local_ids, sp.gy_all.local_ids])
+    perm[order] = np.arange(nv)
+    phot = np.zeros((nv, nv), np.float32)
+    phot[np.arange(nv), perm] = 1.0
+    phot_d = jnp.asarray(phot)
+
+    @jax.jit
+    def run(vol):
+        internal = jnp.swapaxes(vol, 1, 2)[:, :, ::-1]         # [B, n, n]
+        fx = sp._fp_group(internal, sp.gx_all)                 # [B, Vx, Nt]
+        fy = sp._fp_group(internal, sp.gy_all)
+        cat = jnp.concatenate([fx, fy], axis=1)                # [B, nv, Nt]
+        par = jnp.einsum("vk,bkt->bvt", phot_d, cat,
+                         preferred_element_type=jnp.float32
+                         ).astype(vol.dtype)
+        if fold:
+            par = jnp.concatenate([par, par[:, :, ::-1]], axis=1)
+        fan = _inverse_rebin(par, sp.p, n_det, nda0, da)
+        return fan[:, :, ::-1]                 # undo detector flip
+
+    return run
+
+
 def project_fast(volume: jnp.ndarray, g: FBPGeometry, n_det: int,
                  nda0: float, da: float) -> jnp.ndarray:
     """[B, ny, nx] images (recon.projector volume convention) → [B, na, nr]
     fan sinograms. Fast equivalent of recon.convertor.project / the native
     proj_torch binding (TASART2DNSL0_PyAPI.cpp:63-80). FP runs on the
     folded half-turn view set; the φ+π half is the exact t-mirror."""
-    fold = g.M % 2 == 0
-    sp = _splan_for(g, 1, fold=fold)
-
-    @partial(jax.jit, static_argnames=())
-    def run(vol):
-        internal = jnp.swapaxes(vol, 1, 2)[:, :, ::-1]         # [B, n, n]
-        B = vol.shape[0]
-        nv = len(sp.view_ids)
-        fx = sp._fp_group(internal, sp.gx_all)                 # [B, Vx, Nt]
-        fy = sp._fp_group(internal, sp.gy_all)
-        par = jnp.zeros((B, nv, sp.p.Nt), vol.dtype)
-        par = par.at[:, jnp.asarray(sp.gx_all.local_ids)].set(fx)
-        par = par.at[:, jnp.asarray(sp.gy_all.local_ids)].set(fy)
-        if fold:
-            par = jnp.concatenate([par, par[:, :, ::-1]], axis=1)
-        fan = _inverse_rebin(par, sp.p, n_det, nda0, da)
-        return fan[:, :, ::-1]                 # undo detector flip
-    return run(volume)
+    return _project_fast_fn(g, int(n_det), float(nda0), float(da))(volume)
