@@ -46,6 +46,73 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _tree_sum(terms):
+    """Pairwise-balanced sum — shortens the FMA dependency chain vs a
+    linear fold (Mosaic schedules the independent adds in parallel)."""
+    terms = list(terms)
+    while len(terms) > 1:
+        nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
+def _unit_kernel_v2(a_ref, bb_ref, w_ref, bias_ref, xm_ref, x0_ref, xp_ref,
+                    *rest, Wreal, H, Ht, act, has_skip):
+    """Fully-unrolled unit body (C, O are static): the nine shifted tap
+    tiles are materialized ONCE per input channel (the v1 fori_loop body
+    re-derived the sublane-unaligned slices on every output-channel
+    iteration) and the O accumulators live as SSA values — Mosaic keeps
+    them in vregs and spills to VMEM only under pressure, replacing v1's
+    unconditional per-(c,o) scratch read-modify-write. Halo rows arrive
+    as single-row blocks (v1 fetched two full Ht-row blocks per step and
+    used one row of each: 3x input DMA)."""
+    if has_skip:
+        skip_ref, out_ref = rest
+    else:
+        (out_ref,) = rest
+    C = x0_ref.shape[1]
+    O = out_ref.shape[1]
+    Wp = x0_ref.shape[3]
+    b = pl.program_id(0)
+    v = pl.program_id(1)
+    rowi = jax.lax.broadcasted_iota(jnp.int32, (Ht + 2, Wp), 0) + v * Ht - 1
+    coli = jax.lax.broadcasted_iota(jnp.int32, (Ht + 2, Wp), 1)
+    mask = ((rowi >= 0) & (rowi < H) & (coli < Wreal)).astype(jnp.float32)
+
+    acc = [None] * O
+    for c in range(C):
+        xc = jnp.concatenate([xm_ref[0, c, 7:8, :], x0_ref[0, c],
+                              xp_ref[0, c, 0:1, :]],
+                             axis=0).astype(jnp.float32)
+        xh = xc * a_ref[b, c] + bb_ref[b, c]
+        if act:
+            xh = xh * jax.nn.sigmoid(xh)
+        xh = xh * mask
+        left = pltpu.roll(xh, shift=1, axis=1)
+        right = pltpu.roll(xh, shift=Wp - 1, axis=1)
+        if Wp == Wreal:
+            # no padding lane: the roll wraps REAL data into the conv's
+            # zero-pad columns — mask it (when Wp > Wreal the wrapped
+            # value is already a masked padding zero)
+            left = left * (coli >= 1).astype(jnp.float32)
+            right = right * (coli <= Wp - 2).astype(jnp.float32)
+        shifted = (left, xh, right)
+        taps = [shifted[dw][dh:dh + Ht]
+                for dh in range(3) for dw in range(3)]
+        for o in range(O):
+            t = _tree_sum([w_ref[(dh * 3 + dw) * C + c, o]
+                           * taps[dh * 3 + dw]
+                           for dh in range(3) for dw in range(3)])
+            acc[o] = t if acc[o] is None else acc[o] + t
+    for o in range(O):
+        r = acc[o] + bias_ref[b, o]
+        if has_skip:
+            r = r + skip_ref[0, o].astype(jnp.float32)
+        out_ref[0, o] = r.astype(out_ref.dtype)
+
+
 def _unit_kernel(a_ref, bb_ref, w_ref, bias_ref, xm_ref, x0_ref, xp_ref,
                  *rest, Wreal, H, Ht, act, has_skip):
     if has_skip:
@@ -80,6 +147,10 @@ def _unit_kernel(a_ref, bb_ref, w_ref, bias_ref, xm_ref, x0_ref, xp_ref,
         # stays in padding, which every consumer masks)
         cols = (pltpu.roll(xh, shift=1, axis=1), xh,
                 pltpu.roll(xh, shift=Wp - 1, axis=1))
+        if Wp == Wreal:
+            # no padding lane: the lane wrap lands on REAL data (see v2)
+            cols = (cols[0] * (coli >= 1).astype(jnp.float32), cols[1],
+                    cols[2] * (coli <= Wp - 2).astype(jnp.float32))
 
         def o_body(o, _):
             t = None
@@ -107,11 +178,11 @@ def _unit_kernel(a_ref, bb_ref, w_ref, bias_ref, xm_ref, x0_ref, xp_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("act", "ht", "interpret"))
+                   static_argnames=("act", "ht", "interpret", "v2"))
 def planar_unit(x: jnp.ndarray, a: jnp.ndarray, bb: jnp.ndarray,
                 w: jnp.ndarray, bias: jnp.ndarray, skip=None, *,
                 act: bool = True, ht: int = 64,
-                interpret: bool = False) -> jnp.ndarray:
+                interpret: bool = False, v2: bool = False) -> jnp.ndarray:
     """conv3x3_pad1(silu(a*x + bb)) + bias [+ skip] over planar tensors.
 
     x: [B, C, H, W]; a, bb: [B, C] f32 (identity: a=1, bb=0); w: [3, 3, C,
@@ -130,8 +201,17 @@ def planar_unit(x: jnp.ndarray, a: jnp.ndarray, bb: jnp.ndarray,
     ib = jnp.dtype(x.dtype).itemsize
     per_row = (3 * C * ib * 2 + O * 4 + O * ib * 2
                + (O * ib * 2 if skip is not None else 0)) * Wp
-    fit = max(8, int(10e6 / max(per_row, 1)) // 8 * 8)
-    Ht = min(ht, fit, _round_up(H, 8))
+    if v2:
+        # v2 keeps O f32 accumulators + 9 materialized f32 tap tiles on
+        # the Mosaic stack (scoped vmem, 16 MB hard limit) in addition
+        # to the blocked operands — budget per row accordingly.
+        per_row = (C * ib + O * ib + O * 4 + 9 * 4 + 4 * 4
+                   + (O * ib if skip is not None else 0)) * Wp
+        fit = max(8, int(11e6 / max(per_row, 1)) // 8 * 8)
+        Ht = max(8, min(ht, fit, _round_up(H, 8)) // 8 * 8)
+    else:
+        fit = max(8, int(10e6 / max(per_row, 1)) // 8 * 8)
+        Ht = min(ht, fit, _round_up(H, 8))
     Hp = _round_up(H, Ht)
     nb = Hp // Ht
     xpad = jnp.pad(x, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)))
@@ -148,25 +228,50 @@ def planar_unit(x: jnp.ndarray, a: jnp.ndarray, bb: jnp.ndarray,
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((B, O), lambda b, v: (0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, C, Ht, Wp),
-                     lambda b, v: (b, 0, jnp.maximum(v - 1, 0), 0)),
-        pl.BlockSpec((1, C, Ht, Wp), lambda b, v: (b, 0, v, 0)),
-        pl.BlockSpec((1, C, Ht, Wp),
-                     lambda b, v: (b, 0, jnp.minimum(v + 1, nb - 1), 0)),
     ]
+    if v2:
+        # 8-row halo blocks (Mosaic requires sublane blocks % 8): row
+        # v*Ht-1 is row 7 of 8-row block v*Ht/8 - 1, row v*Ht+Ht is row
+        # 0 of block (v+1)*Ht/8 — edge-clamped (the clamped duplicate
+        # row is masked off in-kernel). 16 halo rows DMA'd per step vs
+        # v1's 2*Ht.
+        assert Ht % 8 == 0, Ht
+        h8 = Ht // 8
+        n8 = Hp // 8
+        in_specs += [
+            pl.BlockSpec((1, C, 8, Wp),
+                         lambda b, v: (b, 0, jnp.maximum(v * h8 - 1, 0),
+                                       0)),
+            pl.BlockSpec((1, C, Ht, Wp), lambda b, v: (b, 0, v, 0)),
+            pl.BlockSpec((1, C, 8, Wp),
+                         lambda b, v: (b, 0,
+                                       jnp.minimum((v + 1) * h8, n8 - 1),
+                                       0)),
+        ]
+    else:
+        in_specs += [
+            pl.BlockSpec((1, C, Ht, Wp),
+                         lambda b, v: (b, 0, jnp.maximum(v - 1, 0), 0)),
+            pl.BlockSpec((1, C, Ht, Wp), lambda b, v: (b, 0, v, 0)),
+            pl.BlockSpec((1, C, Ht, Wp),
+                         lambda b, v: (b, 0, jnp.minimum(v + 1, nb - 1),
+                                       0)),
+        ]
     if has_skip:
         args.append(jnp.pad(skip, ((0, 0), (0, 0), (0, Hp - H),
                                    (0, Wp - W))))
         in_specs.append(pl.BlockSpec((1, O, Ht, Wp),
                                      lambda b, v: (b, 0, v, 0)))
+    kern = _unit_kernel_v2 if v2 else _unit_kernel
     out = pl.pallas_call(
-        functools.partial(_unit_kernel, Wreal=W, H=H, Ht=Ht, act=act,
+        functools.partial(kern, Wreal=W, H=H, Ht=Ht, act=act,
                           has_skip=has_skip),
         grid=(B, nb),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, O, Ht, Wp), lambda b, v: (b, 0, v, 0)),
         out_shape=jax.ShapeDtypeStruct((B, O, Hp, Wp), x.dtype),
-        scratch_shapes=[pltpu.VMEM((O, Ht, Wp), jnp.float32)],
+        scratch_shapes=(
+            [] if v2 else [pltpu.VMEM((O, Ht, Wp), jnp.float32)]),
         interpret=interpret or not _on_tpu(),
     )(*args)
     return out[:, :, :H, :W]

@@ -33,10 +33,11 @@ def _ref_unit(x, a, bb, w, bias, skip=None, act=True):
     return out
 
 
+@pytest.mark.parametrize("v2", [False, True])
 @pytest.mark.parametrize("act,with_skip,ht", [(True, True, 16),
                                               (True, False, 8),
                                               (False, False, 16)])
-def test_planar_unit_semantics(act, with_skip, ht):
+def test_planar_unit_semantics(act, with_skip, ht, v2):
     rng = np.random.default_rng(0)
     B, C, O, H, W = 2, 3, 5, 37, 150
     x = rng.normal(0, 1, (B, C, H, W)).astype(np.float32)
@@ -50,7 +51,26 @@ def test_planar_unit_semantics(act, with_skip, ht):
     got = np.asarray(planar_unit(
         jnp.asarray(x), jnp.asarray(a), jnp.asarray(bb), jnp.asarray(w),
         jnp.asarray(bias), None if skip is None else jnp.asarray(skip),
-        act=act, ht=ht, interpret=True))
+        act=act, ht=ht, interpret=True, v2=v2))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("v2", [False, True])
+def test_planar_unit_lane_multiple_width(v2):
+    """W an exact multiple of 128 leaves no padding lane, so the kernel's
+    lane-roll wraps REAL data into the conv's zero-pad columns unless the
+    edge taps are masked (regression: the wrap polluted cols 0 and W-1)."""
+    rng = np.random.default_rng(7)
+    B, C, O, H, W = 1, 4, 4, 24, 128
+    x = rng.normal(0, 1, (B, C, H, W)).astype(np.float32)
+    a = rng.normal(1, 0.2, (B, C)).astype(np.float32)
+    bb = rng.normal(0, 0.2, (B, C)).astype(np.float32)
+    w = rng.normal(0, 0.3, (3, 3, C, O)).astype(np.float32)
+    bias = rng.normal(0, 0.2, (B, O)).astype(np.float32)
+    ref = _ref_unit(x, a, bb, w, bias, None, act=True)
+    got = np.asarray(planar_unit(
+        jnp.asarray(x), jnp.asarray(a), jnp.asarray(bb), jnp.asarray(w),
+        jnp.asarray(bias), None, act=True, ht=8, interpret=True, v2=v2))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
