@@ -161,6 +161,7 @@ def main(argv=None):
     prog = {k: v for k, v in m["deProg"].items()
             if k.startswith("psnr") and not k.endswith("_std")}
     print(f"LDCT PSNR {ldct:.2f} → deProg {max(prog.values()):.2f}")
+    return float(ldct), float(max(prog.values())), m
 
 
 if __name__ == "__main__":

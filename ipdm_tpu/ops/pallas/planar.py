@@ -194,6 +194,14 @@ def planar_unit(x: jnp.ndarray, a: jnp.ndarray, bb: jnp.ndarray,
     """
     B, C, H, W = x.shape
     O = w.shape[3]
+    # v2 emits C*O*9 straight-line multiply-adds (_unit_kernel_v2 unrolls
+    # both channel loops); compile time and code size balloon past the
+    # fused-unit gate's C*O<=160 regime, so refuse silently-pathological
+    # shapes rather than compile them.
+    if v2 and C * O > 256:
+        raise ValueError(
+            f"planar_unit v2 is fully unrolled (C*O*9 terms); C*O="
+            f"{C * O} > 256 would compile pathologically — use v2=False")
     Wp = _round_up(W, 128)
     # fit the per-step VMEM footprint (3 double-buffered input blocks +
     # f32 acc scratch + double-buffered out block [+ skip]) in ~10 MB of
@@ -204,10 +212,14 @@ def planar_unit(x: jnp.ndarray, a: jnp.ndarray, bb: jnp.ndarray,
     if v2:
         # v2 keeps O f32 accumulators + 9 materialized f32 tap tiles on
         # the Mosaic stack (scoped vmem, 16 MB hard limit) in addition
-        # to the blocked operands — budget per row accordingly.
-        per_row = (C * ib + O * ib + O * 4 + 9 * 4 + 4 * 4
-                   + (O * ib if skip is not None else 0)) * Wp
-        fit = max(8, int(11e6 / max(per_row, 1)) // 8 * 8)
+        # to the blocked operands. The blocked operands (main input
+        # block, out, skip) are still pipelined by Pallas, so they count
+        # x2 for double buffering; the two 8-row halo blocks are
+        # Ht-independent and budgeted as a fixed cost.
+        per_row = (2 * C * ib + 2 * O * ib + O * 4 + 9 * 4 + 4 * 4
+                   + (2 * O * ib if skip is not None else 0)) * Wp
+        halo_bytes = 2 * 2 * C * 8 * Wp * ib  # 2 blocks, double-buffered
+        fit = max(8, int((11e6 - halo_bytes) / max(per_row, 1)) // 8 * 8)
         Ht = max(8, min(ht, fit, _round_up(H, 8)) // 8 * 8)
     else:
         fit = max(8, int(10e6 / max(per_row, 1)) // 8 * 8)
