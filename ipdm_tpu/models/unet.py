@@ -239,6 +239,14 @@ PLANAR_FUSED_HT = 64   # kernel H-block rows (tuning knob)
 # 192-512-CO units where einsum's M-stream matmul wins. Units above the
 # gate use the einsum lowering with the GN affine+SiLU composed in XLA.
 PLANAR_FUSED_MAX_CO = 160
+# Kernel body variant: v2 unrolls the (c, o) loops into straight-line SSA
+# code with vreg accumulators and 8-row halo blocks (planar.py
+# _unit_kernel_v2). Round-5 in-context TPU A/B (probe_planar_fused.py
+# proj): v2 57.2 vs v1 59.3 vs unfused 64.5 ms/eval, and v2 compiles
+# faster (70 vs 140 s cold). Default ON; IPDM_PLANAR_V2=0 forces v1.
+# Read at trace time.
+PLANAR_FUSED_V2 = _os.environ.get("IPDM_PLANAR_V2", "1") not in (
+    "0", "off", "False")
 
 
 def _planar_fused_on() -> bool:
@@ -303,7 +311,7 @@ class Conv3x3(nn.Module):
                 btot = btot + extra_bias.astype(jnp.float32)
             return planar_unit(x, af, bf, kernel_f32, btot, skip_add,
                                act=gn_affine is not None,
-                               ht=PLANAR_FUSED_HT)
+                               ht=PLANAR_FUSED_HT, v2=PLANAR_FUSED_V2)
         if planar and gn_affine is not None:
             af, bf = gn_affine
             xh = (x.astype(jnp.float32) * af[:, :, None, None]

@@ -87,4 +87,9 @@ if which == "co":
     # units fused, big ones einsum+composed affine, huge=all fused
     for co in (112, 10 ** 9, 160, 64):
         build_and_time("proj", True, max_co=co)
+if which == "co5":
+    # round-5 sweep with the v2 body: does the 16->16 (CO=256) unit pair
+    # now beat its einsum lowering? planar.py v2 guard allows CO<=256.
+    for co in (160, 256):
+        build_and_time("proj", True, max_co=co)
 print("done", flush=True)
