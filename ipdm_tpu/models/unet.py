@@ -85,23 +85,39 @@ class GN(nn.Module):
     NHWC or planar [B,C,H,W] input."""
     channels: int
     dtype: jnp.dtype = jnp.float32
+    # PLANAR_WIDE: real width of a lane-padded planar input (attribute,
+    # not call arg, so it stays static under nn.remat)
+    wreal: int | None = None
 
     @nn.compact
     def __call__(self, x, planar: bool = False, coeffs_only: bool = False):
+        wreal = self.wreal
         C = self.channels
         g = group_count(C)
         scale = self.param("scale", nn.initializers.ones, (C,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (C,), jnp.float32)
+        wide = (planar and wreal is not None and x.shape[3] > wreal)
         if coeffs_only:
             # per-(batch, channel) affine (a, b) with a*x + b == GN(x) in
             # f32 — consumed by the fused planar unit kernel
-            # (ops/pallas/planar.py); same E[x²]−E[x]² stats as below
+            # (ops/pallas/planar.py); same E[x²]−E[x]² stats as below.
+            # Wide mode: pad lanes carry junk (planar_unit output
+            # contract), so mask them INSIDE the fused reduction (the
+            # elementwise mask fuses into the one-pass sum for free) and
+            # divide by the real count.
             assert planar
             B = x.shape[0]
             xf = x.astype(jnp.float32)
+            if wide:
+                xf = xf * (jnp.arange(x.shape[3]) < wreal)
             xg = xf.reshape(B, g, C // g, *x.shape[2:])
-            mean = xg.mean(axis=(2, 3, 4))                 # [B, g]
-            m2 = (xg * xg).mean(axis=(2, 3, 4))
+            if wide:
+                cnt = (C // g) * x.shape[2] * int(wreal)
+                mean = xg.sum(axis=(2, 3, 4)) / cnt
+                m2 = (xg * xg).sum(axis=(2, 3, 4)) / cnt
+            else:
+                mean = xg.mean(axis=(2, 3, 4))             # [B, g]
+                m2 = (xg * xg).mean(axis=(2, 3, 4))
             var = jnp.maximum(m2 - mean * mean, 0.0)
             rstd = jax.lax.rsqrt(var + 1e-5)
             mean_c = jnp.repeat(mean, C // g, axis=1)      # [B, C]
@@ -258,6 +274,25 @@ def _planar_fused_on() -> bool:
     return PLANAR_FUSED not in ("0", "off", "False")
 
 
+# PLANAR_WIDE: persist the 128-lane W padding (912 → 1024) through the
+# whole shallow planar stack — one pad at the NHWC→planar boundary, one
+# slice on the way out, and NO per-unit pad/slice/realign copies in
+# between (the r5 proj trace shows ~13 ms/eval of layout copies + 1.7 ms
+# of pads around the planar units). Invariant: pad lanes are EXACT zeros
+# at every materialized boundary (planar_unit masks its output; the
+# einsum/stack fallbacks mask after bias), so GN statistics divide by the
+# real count and lane shifts read correct conv zero-padding. Requires the
+# fused units (trace-time gate, like PLANAR_FUSED). Round-5 in-context
+# TPU A/B (probe_planar_fused.py proj): wide 55.1 vs narrow-v2 57.2 vs
+# unfused 66.1 ms/eval. Default ON; IPDM_PLANAR_WIDE=0 forces off.
+PLANAR_WIDE = _os.environ.get("IPDM_PLANAR_WIDE", "1") not in (
+    "0", "off", "False")
+
+
+def _planar_wide_on() -> bool:
+    return PLANAR_WIDE and _planar_fused_on()
+
+
 class Conv3x3(nn.Module):
     """3×3 conv with 'kernel' (HWIO) / 'bias' params, three lowerings:
 
@@ -273,18 +308,42 @@ class Conv3x3(nn.Module):
     strides: int = 1
     dtype: jnp.dtype = jnp.float32
     im2col_max_cin: int = 32
+    # PLANAR_WIDE: real width of a lane-padded planar input (attribute,
+    # not call arg, so it stays static under nn.remat)
+    wreal: int | None = None
 
     @nn.compact
     def __call__(self, x, planar: bool = False, upsample2: bool = False,
                  gn_affine=None, extra_bias=None, skip_add=None):
+        wreal = self.wreal
         """gn_affine: optional ([B,Cin],[B,Cin]) f32 GN affine — the conv
         consumes silu(a*x+b) instead of x (planar only; see GN
         coeffs_only). extra_bias: optional [B,features] added per channel
         (time embedding). skip_add: optional [B,features,H,W] residual
         added to the output. On TPU these fuse into one Pallas pass per
         unit (planar_unit); off-TPU the pieces compose in XLA with the
-        incumbent lowering."""
+        incumbent lowering.
+
+        wreal (PLANAR_WIDE mode): the input's real width — x's last
+        W - wreal lanes are persistent zero padding (W % 128 == 0). The
+        output keeps the wide form (real width ceil(wreal/s), same lane
+        count scaled by the stride) with its pad lanes exactly zero."""
         cin = x.shape[1] if planar else x.shape[-1]
+        s = self.strides
+        wide = (planar and wreal is not None
+                and x.shape[3] % 128 == 0 and x.shape[3] > wreal)
+        if wide and s > 1 and (x.shape[3] // s) % 128:
+            # striding would lose the 128-lane alignment (tiny widths,
+            # e.g. the engine's 4x4 param-init trace) — de-widen instead
+            wide = False
+        if wreal is not None and not wide:
+            if planar and x.shape[3] != int(wreal):
+                # de-widen: drop the stale pad lanes and run narrow
+                x = jax.lax.slice_in_dim(x, 0, int(wreal), axis=3)
+                if skip_add is not None:
+                    skip_add = jax.lax.slice_in_dim(
+                        skip_add, 0, int(wreal), axis=3)
+            wreal = None
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (3, 3, cin,
                                                        self.features),
@@ -297,7 +356,6 @@ class Conv3x3(nn.Module):
         if upsample2:
             assert not planar
             return _up2_conv(x, kernel, bias, self.dtype)
-        s = self.strides
         if (planar and s == 1 and _planar_fused_on()
                 and cin * self.features <= PLANAR_FUSED_MAX_CO):
             B = x.shape[0]
@@ -311,12 +369,66 @@ class Conv3x3(nn.Module):
                 btot = btot + extra_bias.astype(jnp.float32)
             return planar_unit(x, af, bf, kernel_f32, btot, skip_add,
                                act=gn_affine is not None,
-                               ht=PLANAR_FUSED_HT, v2=PLANAR_FUSED_V2)
+                               ht=PLANAR_FUSED_HT, v2=PLANAR_FUSED_V2,
+                               wreal=wreal)
         if planar and gn_affine is not None:
             af, bf = gn_affine
             xh = (x.astype(jnp.float32) * af[:, :, None, None]
                   + bf[:, :, None, None]).astype(x.dtype)
             x = nn.silu(xh)
+        if planar and wide:
+            # zero the pad lanes first: the conv taps below read them,
+            # and upstream wide producers (planar_unit outputs, the
+            # affine+silu above) leave junk there. One fused multiply.
+            x = x * (jnp.arange(x.shape[3]) < wreal).astype(x.dtype)
+            # wide tap construction: after the mask the ±1 column shifts
+            # pull in zeros at both the w=0 edge (shift-in) and the
+            # real-width edge (pad lanes) — the conv's zero padding
+            # without the narrow path's pad+unaligned-slice.
+            B, _, H, Wl = x.shape
+            Ho = -(-H // s)
+            xh = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
+            cols = [
+                jnp.pad(xh[:, :, :, :Wl - 1],
+                        ((0, 0), (0, 0), (0, 0), (1, 0))),
+                xh,
+                jnp.pad(xh[:, :, :, 1:],
+                        ((0, 0), (0, 0), (0, 0), (0, 1))),
+            ]
+            if s > 1:
+                cols = [c[:, :, :, ::s] for c in cols]
+            if PLANAR_SMALLC == "stackbar":
+                cols = list(jax.lax.optimization_barrier(tuple(cols)))
+            shifted = [cols[dw][:, :, dh:dh + (Ho - 1) * s + 1:s, :]
+                       for dh in range(3) for dw in range(3)]
+            if (cin * self.features <= VPU_UNROLL_MAX
+                    and PLANAR_SMALLC in ("stack", "stackbar")):
+                outs = []
+                for o in range(self.features):
+                    acc = None
+                    for t9 in range(9):
+                        dh, dw = divmod(t9, 3)
+                        for c in range(cin):
+                            term = kernel[dh, dw, c, o] * shifted[t9][:, c]
+                            acc = term if acc is None else acc + term
+                    outs.append(acc + bias[o])
+                y = jnp.stack(outs, axis=1)
+            else:
+                y = None
+                for t9 in range(9):
+                    dh, dw = divmod(t9, 3)
+                    r = jnp.einsum("bchw,co->bohw", shifted[t9],
+                                   kernel[dh, dw],
+                                   preferred_element_type=self.dtype)
+                    y = r if y is None else y + r
+                y = y + bias[None, :, None, None]
+            if extra_bias is not None:
+                y = y + extra_bias.astype(y.dtype)[:, :, None, None]
+            if skip_add is not None:
+                y = y + skip_add
+            # output pad lanes carry bias junk — consumers mask/slice
+            # (same contract as planar_unit's wide output)
+            return y
         if planar:
             B, _, H, W = x.shape
             Ho = -(-H // s)
@@ -421,32 +533,37 @@ class ResidualBlock(nn.Module):
     out_channels: int
     dtype: jnp.dtype = jnp.float32
     planar: bool = False
+    wreal: int | None = None  # PLANAR_WIDE real width (static attribute)
 
     @nn.compact
     def __call__(self, x, temb):
+        wreal = self.wreal
         p = self.planar
         if p and _planar_fused_on():
             # fused-unit path: each GN→SiLU→conv (+time-emb bias / +skip)
             # lowers to ONE Pallas pass (ops/pallas/planar.py); GN stats
             # stay in XLA as coeffs. Same math as the branch below.
-            a1, b1 = GN(self.in_channels, self.dtype)(x, planar=True,
-                                                      coeffs_only=True)
+            # wreal: PLANAR_WIDE real width (lane-padded tensors flow
+            # through unchanged; the shortcut's polluted pad lanes are
+            # re-zeroed by the consuming unit's output mask).
+            a1, b1 = GN(self.in_channels, self.dtype,
+                        wreal=wreal)(x, planar=True, coeffs_only=True)
             t = nn.Dense(self.out_channels, dtype=self.dtype,
                          param_dtype=jnp.float32,
                          name="time_emb")(nn.silu(temb))
-            h = Conv3x3(self.out_channels, dtype=self.dtype,
+            h = Conv3x3(self.out_channels, dtype=self.dtype, wreal=wreal,
                         name="conv1")(x, planar=True, gn_affine=(a1, b1),
                                       extra_bias=t)
-            a2, b2 = GN(self.out_channels, self.dtype)(h, planar=True,
-                                                       coeffs_only=True)
+            a2, b2 = GN(self.out_channels, self.dtype,
+                        wreal=wreal)(h, planar=True, coeffs_only=True)
             if self.in_channels != self.out_channels:
                 sc = Conv1x1(self.out_channels, dtype=self.dtype,
                              name="shortcut")(x, planar=True)
             else:
                 sc = x
             return Conv3x3(self.out_channels, dtype=self.dtype,
-                           name="conv2")(h, planar=True,
-                                         gn_affine=(a2, b2), skip_add=sc)
+                           wreal=wreal, name="conv2")(
+                h, planar=True, gn_affine=(a2, b2), skip_add=sc)
         h = GN(self.in_channels, self.dtype)(x, planar=p)
         h = nn.silu(h)
         h = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")(
@@ -554,11 +671,12 @@ class Downsample(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
     planar: bool = False
+    wreal: int | None = None  # PLANAR_WIDE real width (static attribute)
 
     @nn.compact
     def __call__(self, x):
         return Conv3x3(self.channels, strides=2, dtype=self.dtype,
-                       name="op")(x, planar=self.planar)
+                       wreal=self.wreal, name="op")(x, planar=self.planar)
 
 
 class Upsample(nn.Module):
@@ -570,14 +688,36 @@ class Upsample(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
     planar: bool = False
+    wreal: int | None = None  # PLANAR_WIDE real width (static attribute)
 
     @nn.compact
     def __call__(self, x, size):
+        wreal = self.wreal
         dh, dw = int(size[0]), int(size[1])
         if (UP2_FUSED and not self.planar and dh == 2 * x.shape[1]
                 and dw == 2 * x.shape[2]):
             return Conv3x3(self.channels, dtype=self.dtype, name="conv")(
                 x, upsample2=True)
+        wide = (self.planar and wreal is not None
+                and x.shape[3] > wreal)
+        if wide and dh in (2 * x.shape[2], 2 * x.shape[2] - 1) \
+                and dw == 2 * wreal:
+            # wide 2× resize: sublane repeat(+crop) on H; lane repeat on
+            # W maps [real | pad] to [2·real | repeated pad] — still
+            # contiguous wide form (pad lanes carry junk; consumers mask,
+            # per the planar_unit wide contract). Trim lanes if 2·lanes
+            # overshoots the minimal wide width.
+            x = jnp.repeat(x, 2, axis=2)
+            x = jax.lax.slice_in_dim(x, 0, dh, axis=2)
+            x = jnp.repeat(x, 2, axis=3)
+            wl = -(-dw // 128) * 128
+            if x.shape[3] > wl:
+                x = jax.lax.slice_in_dim(x, 0, wl, axis=3)
+            return Conv3x3(self.channels, dtype=self.dtype, wreal=dw,
+                           name="conv")(x, planar=True)
+        if wide:
+            # general sizes: drop to narrow, resize, let the caller repad
+            x = jax.lax.slice_in_dim(x, 0, int(wreal), axis=3)
         x = nearest_resize(x, size, planar=self.planar)
         return Conv3x3(self.channels, dtype=self.dtype, name="conv")(
             x, planar=self.planar)
@@ -670,51 +810,76 @@ class UNetModel(nn.Module):
                        name="time_dense2")(nn.silu(emb))
         emb = emb.astype(self.dtype)
 
-        def fit(h, h_planar, want):
-            if h_planar and not want:
-                return from_planar(h)
-            if want and not h_planar:
-                return to_planar(h)
-            return h
+        wide_on = _planar_wide_on()
 
-        def spatial(h, h_planar):
-            return (h.shape[2], h.shape[3]) if h_planar else \
+        def fit(h, h_planar, want, wr):
+            """Layout conversion; returns (h, wr). wr is the REAL width of
+            a planar tensor (PLANAR_WIDE keeps W lane-padded with exact
+            zero pads; narrow mode has wr == shape[3], so every wide guard
+            degenerates and the traced HLO is the incumbent one)."""
+            if h_planar and not want:
+                if h.shape[3] > wr:
+                    h = jax.lax.slice_in_dim(h, 0, wr, axis=3)
+                return from_planar(h), None
+            # widen only when the lane padding at most doubles the width
+            # (wr >= 64): below that the pad overhead dwarfs the saved
+            # copies (and 32x-inflates interpret-mode tests)
+            widen = lambda w: wide_on and w % 128 and w >= 64
+            if want and not h_planar:
+                wr = h.shape[2]
+                h = to_planar(h)
+                if widen(wr):
+                    h = jnp.pad(h, ((0, 0), (0, 0), (0, 0),
+                                    (0, -(-wr // 128) * 128 - wr)))
+                return h, wr
+            if h_planar and want and widen(wr) and h.shape[3] == wr:
+                # normalize a narrow tensor (e.g. an odd-size Upsample
+                # fallback) back to the wide form so concats line up
+                h = jnp.pad(h, ((0, 0), (0, 0), (0, 0),
+                                (0, -(-wr // 128) * 128 - wr)))
+            return h, wr
+
+        def spatial(h, h_planar, wr):
+            return (h.shape[2], wr) if h_planar else \
                 (h.shape[1], h.shape[2])
 
         h = x.astype(self.dtype)
         hp = False  # h currently planar?
-        hs = []     # (tensor, is_planar)
+        wr = None   # real width when planar (see fit)
+        hs = []     # (tensor, is_planar, real_width)
         di = 0
         for entry in down_plan:
             if entry[0] == "stem":
                 want = self._planar(entry[1])
-                h = fit(h, hp, want)
+                h, wr = fit(h, hp, want, wr)
                 hp = want
-                h = Conv3x3(entry[1], dtype=self.dtype,
+                h = Conv3x3(entry[1], dtype=self.dtype, wreal=wr,
                             name=f"down{di}_stem")(h, planar=hp)
             elif entry[0] == "res":
                 _, in_ch, out_ch, attn = entry
                 want = self._planar(max(in_ch, out_ch), attn)
-                h = fit(h, hp, want)
+                h, wr = fit(h, hp, want, wr)
                 hp = want
-                h = Res(in_ch, out_ch, self.dtype, planar=hp,
+                h = Res(in_ch, out_ch, self.dtype, planar=hp, wreal=wr,
                         name=f"down{di}_res")(h, emb)
                 if attn:
                     h = Attn(out_ch, self.num_heads, self.dtype,
                              name=f"down{di}_attn")(h)
             else:  # down
                 want = self._planar(entry[1])
-                h = fit(h, hp, want)
+                h, wr = fit(h, hp, want, wr)
                 hp = want
-                h = Downsample(entry[1], self.dtype, planar=hp,
+                h = Downsample(entry[1], self.dtype, planar=hp, wreal=wr,
                                name=f"down{di}_ds")(h)
-            hs.append((h, hp))
+                if hp:
+                    wr = -(-wr // 2)
+            hs.append((h, hp, wr))
             di += 1
 
         want = self._planar(middle_ch)
-        h = fit(h, hp, want)
+        h, wr = fit(h, hp, want, wr)
         hp = want
-        h = Res(middle_ch, middle_ch, self.dtype, planar=hp,
+        h = Res(middle_ch, middle_ch, self.dtype, planar=hp, wreal=wr,
                 name="mid_res1")(h, emb)
         if not hp:
             h = Attn(middle_ch, self.num_heads, self.dtype,
@@ -722,14 +887,14 @@ class UNetModel(nn.Module):
         else:
             # middle attention only exists at deep (NHWC) channel counts in
             # real configs; planar middles (tiny truncated configs) convert
-            h = from_planar(h)
-            h = Attn(middle_ch, self.num_heads, self.dtype,
-                     name="mid_attn")(h)
-            h = to_planar(h)
-        h = Res(middle_ch, middle_ch, self.dtype, planar=hp,
+            hn, _ = fit(h, True, False, wr)
+            hn = Attn(middle_ch, self.num_heads, self.dtype,
+                      name="mid_attn")(hn)
+            h, wr = fit(hn, False, True, None)
+        h = Res(middle_ch, middle_ch, self.dtype, planar=hp, wreal=wr,
                 name="mid_res2")(h, emb)
 
-        h_, h_p = hs.pop()
+        h_, h_p, w_r = hs.pop()
         for ui, entry in enumerate(up_plan):
             _, in_ch, out_ch, attn, upsample = entry
             # Up blocks always concat a skip, so in_ch = out_ch + skip_ch:
@@ -741,30 +906,32 @@ class UNetModel(nn.Module):
             want = (self._planar(out_ch, attn)
                     and (not UP_GATE_IN_LIMIT
                          or in_ch <= 2 * self.planar_max_c))
-            h = fit(h, hp, want)
-            skip = fit(h_, h_p, want)
+            h, wr = fit(h, hp, want, wr)
+            skip, _ = fit(h_, h_p, want, w_r)
             hp = want
             cat_axis = 1 if hp else -1
             cat_in = jnp.concatenate([h, skip], axis=cat_axis)
             if hs:
-                h_, h_p = hs.pop()
-            size = spatial(h_, h_p)
-            h = Res(in_ch, out_ch, self.dtype, planar=hp,
+                h_, h_p, w_r = hs.pop()
+            size = spatial(h_, h_p, w_r)
+            h = Res(in_ch, out_ch, self.dtype, planar=hp, wreal=wr,
                     name=f"up{ui}_res")(cat_in, emb)
             if attn:
                 h = Attn(out_ch, self.num_heads, self.dtype,
                          name=f"up{ui}_attn")(h)
             if upsample:
-                h = Upsample(out_ch, self.dtype, planar=hp,
+                h = Upsample(out_ch, self.dtype, planar=hp, wreal=wr,
                              name=f"up{ui}_us")(h, size)
+                if hp:
+                    wr = int(size[1])
 
         want = self._planar(final_ch)
-        h = fit(h, hp, want)
+        h, wr = fit(h, hp, want, wr)
         hp = want
         if hp and _planar_fused_on():
-            af, bf = GN(final_ch, self.dtype)(h, planar=True,
-                                              coeffs_only=True)
-            h = Conv3x3(self.out_channels, dtype=self.dtype,
+            af, bf = GN(final_ch, self.dtype, wreal=wr)(
+                h, planar=True, coeffs_only=True)
+            h = Conv3x3(self.out_channels, dtype=self.dtype, wreal=wr,
                         name="out_conv")(h, planar=True,
                                          gn_affine=(af, bf))
         else:
@@ -773,7 +940,7 @@ class UNetModel(nn.Module):
             h = Conv3x3(self.out_channels, dtype=self.dtype,
                         name="out_conv")(h, planar=hp)
         if hp:
-            h = from_planar(h)
+            h, _ = fit(h, True, False, wr)
         return h.astype(jnp.float32)
 
 

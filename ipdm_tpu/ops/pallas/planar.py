@@ -106,6 +106,13 @@ def _unit_kernel_v2(a_ref, bb_ref, w_ref, bias_ref, xm_ref, x0_ref, xp_ref,
                            * taps[dh * 3 + dw]
                            for dh in range(3) for dw in range(3)])
             acc[o] = t if acc[o] is None else acc[o] + t
+    # NOTE (wide mode): output pad lanes carry bias/skip junk — by
+    # design. Consumers handle it: this kernel masks its INPUT
+    # (coli < Wreal above), GN stats mask inside their fused reduction
+    # (models/unet.py), the einsum-path convs pre-mask, and the
+    # planar->NHWC boundary slices to the real width. Zeroing pads here
+    # (an output mask) was tried and reverted: the extra live array blew
+    # Mosaic's 16M stack context-dependently (r5 session log).
     for o in range(O):
         r = acc[o] + bias_ref[b, o]
         if has_skip:
@@ -178,11 +185,13 @@ def _unit_kernel(a_ref, bb_ref, w_ref, bias_ref, xm_ref, x0_ref, xp_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("act", "ht", "interpret", "v2"))
+                   static_argnames=("act", "ht", "interpret", "v2",
+                                    "wreal"))
 def planar_unit(x: jnp.ndarray, a: jnp.ndarray, bb: jnp.ndarray,
                 w: jnp.ndarray, bias: jnp.ndarray, skip=None, *,
                 act: bool = True, ht: int = 64,
-                interpret: bool = False, v2: bool = False) -> jnp.ndarray:
+                interpret: bool = False, v2: bool = False,
+                wreal: int | None = None) -> jnp.ndarray:
     """conv3x3_pad1(silu(a*x + bb)) + bias [+ skip] over planar tensors.
 
     x: [B, C, H, W]; a, bb: [B, C] f32 (identity: a=1, bb=0); w: [3, 3, C,
@@ -191,9 +200,39 @@ def planar_unit(x: jnp.ndarray, a: jnp.ndarray, bb: jnp.ndarray,
     optional [B, O, H, W] added to the output. act=False skips the SiLU
     (plain affine+conv, e.g. stem/upsample convs). Returns [B, O, H, W]
     in x.dtype; f32 accumulation.
+
+    Wide mode (wreal given, x already lane-padded: W % 128 == 0,
+    W >= wreal): x's last wreal..W lanes are padding that persists
+    ACROSS units (models/unet.py PLANAR_WIDE) — the kernel skips the
+    entry pad and the exit W-slice and masks its input with wreal, so
+    chains of units at the same resolution never re-materialize
+    pad/slice copies. The OUTPUT's pad lanes carry bias/skip junk;
+    every wide consumer masks or slices (see _unit_kernel_v2 note).
     """
     B, C, H, W = x.shape
     O = w.shape[3]
+    wide = (wreal is not None and W % 128 == 0 and W >= wreal)
+    if wreal is not None and not wide:
+        wreal_i = int(wreal)
+        assert wreal_i == W, (wreal, x.shape)
+        wreal = None
+    if v2 and C >= 16 and C % 8 == 0:
+        # Split wide-C units into 8-channel kernels chained via skip: the
+        # v2 body's cost grows superlinearly in C (Ht shrinks with the
+        # VMEM fit, halo/fixed overheads multiply) — the r5 trace has the
+        # C=16 up-concat unit at 2.28 ms vs 0.89 for C=8 units; two
+        # chained C=8 kernels + the extra out roundtrip are ~1.85 ms.
+        # Exact up to one bf16 round of the intermediate (f32 accumulate
+        # per chunk). C=12 measured NOT worth splitting (1.31 vs ~1.45).
+        out = skip
+        zero_bias = jnp.zeros_like(bias)
+        for i in range(0, C, 8):
+            out = planar_unit(x[:, i:i + 8], a[:, i:i + 8],
+                              bb[:, i:i + 8], w[:, :, i:i + 8],
+                              bias if i == 0 else zero_bias, out,
+                              act=act, ht=ht, interpret=interpret,
+                              v2=True, wreal=wreal)
+        return out
     # v2 emits C*O*9 straight-line multiply-adds (_unit_kernel_v2 unrolls
     # both channel loops); compile time and code size balloon past the
     # fused-unit gate's C*O<=160 regime, so refuse silently-pathological
@@ -227,6 +266,7 @@ def planar_unit(x: jnp.ndarray, a: jnp.ndarray, bb: jnp.ndarray,
     Hp = _round_up(H, Ht)
     nb = Hp // Ht
     xpad = jnp.pad(x, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W)))
+    wr = int(wreal) if wide else W
     w2 = w.astype(jnp.float32).reshape(9 * C, O)
     has_skip = skip is not None
     args = [a.astype(jnp.float32), bb.astype(jnp.float32), w2,
@@ -276,7 +316,7 @@ def planar_unit(x: jnp.ndarray, a: jnp.ndarray, bb: jnp.ndarray,
                                      lambda b, v: (b, 0, v, 0)))
     kern = _unit_kernel_v2 if v2 else _unit_kernel
     out = pl.pallas_call(
-        functools.partial(kern, Wreal=W, H=H, Ht=Ht, act=act,
+        functools.partial(kern, Wreal=wr, H=H, Ht=Ht, act=act,
                           has_skip=has_skip),
         grid=(B, nb),
         in_specs=in_specs,

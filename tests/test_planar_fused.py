@@ -144,3 +144,62 @@ def test_conv3x3_gn_affine_fallback_composition():
         U.PLANAR_FUSED = old
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("hw", [(40, 140), (37, 141)])
+def test_unet_wide_matches_narrow(hw):
+    """PLANAR_WIDE (persistent 128-lane W padding through the shallow
+    stack — one pad in, one slice out, exact-zero pad lanes, masked GN
+    counts) must match the narrow layout to f32 fusion-reordering noise.
+    The even case exercises the wide 2x upsample; the odd case exercises
+    the narrow fallback + re-widening normalization at the concat."""
+    H, W = hw
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, H, W, 1), np.float32))
+    tv = jnp.full((1,), 3, jnp.int32)
+    m = U.UNetModel(in_channels=1, model_channels=8, out_channels=1,
+                    num_res_blocks=2, attention_resolutions=(4,),
+                    channel_mult=(0.5, 1, 2, 4), dtype=jnp.float32,
+                    planar_max_c=32)
+    p = m.init(jax.random.PRNGKey(0), x, tv)
+    old_f, old_w = U.PLANAR_FUSED, U.PLANAR_WIDE
+    try:
+        U.PLANAR_FUSED = "1"
+        U.PLANAR_WIDE = False
+        y0 = np.asarray(m.apply(p, x, tv))
+        U.PLANAR_WIDE = True
+        y1 = np.asarray(m.apply(p, x, tv))
+    finally:
+        U.PLANAR_FUSED, U.PLANAR_WIDE = old_f, old_w
+    assert y1.shape == y0.shape
+    np.testing.assert_allclose(y1, y0, rtol=1e-4, atol=2e-5)
+
+
+def test_planar_unit_wide_semantics():
+    """planar_unit wide mode (wreal < W, lane-padded input): real region
+    matches the narrow call even when the INPUT pad lanes carry junk
+    (the in-kernel coli<wreal mask kills it). Output pad lanes are
+    unspecified by contract — consumers mask or slice."""
+    rng = np.random.default_rng(4)
+    C, O, H, W, WP = 3, 4, 12, 20, 128
+    x = rng.random((1, C, H, W)).astype(np.float32)
+    xw = rng.random((1, C, H, WP)).astype(np.float32) * 7.0  # junk pads
+    xw[..., :W] = x
+    a = rng.random((1, C)).astype(np.float32) + 0.5
+    bb = rng.random((1, C)).astype(np.float32)
+    w = rng.random((3, 3, C, O)).astype(np.float32)
+    bias = rng.random((1, O)).astype(np.float32)
+    skip = rng.random((1, O, H, W)).astype(np.float32)
+    skipw = np.zeros((1, O, H, WP), np.float32)
+    skipw[..., :W] = skip
+    for v2 in (False, True):
+        y = np.asarray(planar_unit(
+            jnp.asarray(x), jnp.asarray(a), jnp.asarray(bb),
+            jnp.asarray(w), jnp.asarray(bias), jnp.asarray(skip),
+            act=True, ht=8, interpret=True, v2=v2))
+        yw = np.asarray(planar_unit(
+            jnp.asarray(xw), jnp.asarray(a), jnp.asarray(bb),
+            jnp.asarray(w), jnp.asarray(bias), jnp.asarray(skipw),
+            act=True, ht=8, interpret=True, v2=v2, wreal=W))
+        assert yw.shape == (1, O, H, WP)
+        np.testing.assert_allclose(yw[..., :W], y, rtol=1e-5, atol=1e-5)
