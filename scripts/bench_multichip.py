@@ -106,5 +106,85 @@ def main(max_devices: int = 8):
         print(json.dumps(r))
 
 
+def engine(n_devices: int = 8):
+    """Round-5 VERDICT #5: per-slice cost of the SHARDED flagship
+    inference vs unsharded, through the real engine path (test_prog,
+    guided proj+img stages + ART convert) on a tiny geometry. On the
+    virtual CPU mesh all devices share one core, so absolute wall-clock
+    is not ICI-representative — the number documents that the sharded
+    program runs, its compile/fusion structure, and the relative phase
+    split; the PLANAR_FUSED trade a sharded trace pays on TPU is
+    measured separately (docs/MULTICHIP.md)."""
+    devices = _provision_devices(n_devices)
+    import jax
+    import jax.numpy as jnp
+
+    from ipdm_tpu.config.config import IPDMConfig
+    from ipdm_tpu.engine.denoiser import ProgressiveDomainDenoiser
+    from ipdm_tpu.recon.geometry import FanBeamGeometry, area_lut, \
+        default_betas
+    from ipdm_tpu.recon.phantom import shepp_logan
+    from ipdm_tpu.recon.projector import forward_project
+    import numpy as np
+    import os
+    import tempfile
+
+    GEO = dict(nx=32, ny=32, dx=42 / 32, dy=42 / 32, nr=64,
+               dr=0.0010125 * 912 / 64, na=60, ta_dimx=401, ta_dimy=91)
+    g = FanBeamGeometry(**GEO)
+    root = tempfile.mkdtemp(prefix="eng_bench_")
+    lut = jnp.asarray(area_lut(g))
+    betas = jnp.asarray(default_betas(g))
+    ph = np.asarray(shepp_logan(32), np.float32) * 0.36
+    proj = np.asarray(forward_project(jnp.asarray(ph), g, lut, betas))
+    rng = np.random.default_rng(0)
+    ld = proj + rng.normal(0, 0.02 * proj.max(), proj.shape).astype(
+        np.float32)
+    for kind, arr in (("fd_img", ph.T), ("ld_img", ph.T),
+                      ("fd_proj", proj), ("ld_proj", ld)):
+        d = os.path.join(root, kind, "L001")
+        os.makedirs(d, exist_ok=True)
+        np.save(os.path.join(d, "000.npy"), arr)
+
+    def run(mesh_shape):
+        opt = IPDMConfig(
+            mode="test_prog", run_name="mb", test_numbers=1,
+            convertor="ART", sart_nstart=2, sart_subsets=6,
+            ultra_img_denoise=True, mesh_shape=mesh_shape,
+            model_channels_img=8, channel_mult_img=[1, 1, 2],
+            attention_resolutions_img=[4], timesteps_img=50,
+            t_start_img=[3, 2], constant_guidance_img=0.45,
+            model_channels_proj=8, channel_mult_proj=[1, 1, 2],
+            attention_resolutions_proj=[4], timesteps_proj=50,
+            t_start_proj=[3, 2], constant_guidance_proj=0.5,
+            metrics=["psnr"], geometry=GEO,
+            **{f"test_dataset_path_{k}": os.path.join(root, v)
+               for k, v in (("LD_img", "ld_img"), ("FD_img", "fd_img"),
+                            ("LD_proj", "ld_proj"),
+                            ("FD_proj", "fd_proj"))})
+        eng = ProgressiveDomainDenoiser(
+            opt, result_save_path=os.path.join(root, "out"))
+        t0 = time.time()
+        eng.test(0)
+        wall = time.time() - t0
+        phases = {k: round(v, 2)
+                  for k, v in getattr(eng.timer, "totals", {}).items()} \
+            if hasattr(eng, "timer") else {}
+        return wall, phases
+
+    w0, p0 = run(None)
+    w1, p1 = run([n_devices, 1])
+    platform = jax.devices()[0].platform
+    for tag, w, ph_ in (("unsharded", w0, p0),
+                        (f"sharded[{n_devices},1]", w1, p1)):
+        print(json.dumps({"bench": "engine_test_prog_slice", "mode": tag,
+                          "wall_s_incl_compile": round(w, 1),
+                          "phases_s": ph_, "platform": platform,
+                          "virtual": platform == "cpu"}))
+
+
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)
+    if len(sys.argv) > 1 and sys.argv[1] == "engine":
+        engine(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+    else:
+        main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

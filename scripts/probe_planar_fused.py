@@ -92,4 +92,10 @@ if which == "co5":
     # now beat its einsum lowering? planar.py v2 guard allows CO<=256.
     for co in (160, 256):
         build_and_time("proj", True, max_co=co)
+if which == "co5b":
+    # with the C>=16 8-channel split (r5): 24->8 (CO=192) = 3 chained
+    # C=8 kernels, 16->16 (CO=256) = 2 chained 8->16 kernels — re-sweep
+    # the gate now that wide-C units no longer hit the slow v2 body
+    for co in (192, 256):
+        build_and_time("proj", True, max_co=co)
 print("done", flush=True)
