@@ -393,13 +393,58 @@ class _SartFastPlan:
 
     def _resample_to_fine(self, R: jnp.ndarray, grp: _Group) -> jnp.ndarray:
         """Resample per-view t-grid signals R [B, nv, Nt] onto the group's
-        flat fine grid (two static taps): [Vpad, B, L]. Once per convert."""
+        flat fine grid (two static taps): [Vpad, B, L]. Once per convert.
+
+        Lowering (r5): the flat layout is K contiguous planes of length
+        Lq; within plane p the source position is sgn·(step·(j·K+p)+β0) —
+        MONOTONE in j with |slope| = step·K = |a| ≤ ~1.3. Laying each
+        plane at a 128-aligned offset makes every 128-bin block's source
+        span ≤ |a|·127+2 < the anterp window bound, so the whole resample
+        is ONE `anterp_taps` Pallas call (roll + banded tap matrix + MXU)
+        instead of two flat take_along_axis gathers — those ran the TPU
+        scalar gather path at ~0.7 GB/s, 4×26 ms per 3-sinogram convert
+        (r5 trace, docs/PERF.md)."""
         B = R.shape[0]
         if grp.V == 0:
             return jnp.zeros((grp.Vpad, B, grp.L), R.dtype)
         rv = jnp.swapaxes(R[:, jnp.asarray(grp.local_ids)], 0, 1)
         if grp.Vpad > grp.V:
             rv = jnp.pad(rv, ((0, grp.Vpad - grp.V), (0, 0), (0, 0)))
+        Nt = self.p.Nt
+        amax = float(np.max(grp.step)) * grp.K if grp.V else 0.0
+        if amax * 127 + 2 >= _shift._WTR_D - 4:
+            return self._resample_to_fine_gather(rv, grp, B)
+        K, Lq = grp.K, grp.Lq
+        Lqp = _round_up(Lq, 128)
+        # per-plane tables (on device, from per-view scalars — same
+        # construction as fine_tables but in [Vpad, K, Lqp] plane layout)
+        sgn = grp._pad_vec(grp.sgn)[:, None, None]
+        step = grp._pad_vec(grp.step, fill=1.0)[:, None, None]
+        beta0 = grp._pad_vec(grp.beta0)[:, None, None]
+        m = (jnp.arange(Lqp, dtype=jnp.int32)[None, :] * K
+             + jnp.arange(K, dtype=jnp.int32)[:, None])       # [K, Lqp]
+        qpos = sgn * (step * m[None].astype(jnp.float32) + beta0)
+        qi = jnp.floor(qpos)
+        qf = (qpos - qi).astype(jnp.float32)
+        qi0u = jnp.clip(qi.astype(jnp.int32), 0, Nt - 1)
+        same = (jnp.clip(qi.astype(jnp.int32) + 1, 0, Nt - 1)
+                == qi0u).astype(jnp.float32)
+        # exact clipped-lerp semantics: where qi+1 clips onto qi0u the
+        # second tap folds into the first
+        w0 = (1 - qf) + qf * same
+        w1 = qf * (1 - same)
+        Vp = grp.Vpad
+        qi_flat = qi0u.reshape(Vp, K * Lqp)
+        W = jnp.stack([w0, w1], axis=1).reshape(Vp, 2, K * Lqp)
+        Ntp = _round_up(Nt + _shift._WTR_WIN, 128)
+        P = jnp.pad(rv, ((0, 0), (0, 0), (0, Ntp - Nt)))
+        out = anterp_taps(P, qi_flat, W)                      # [Vp,B,KLqp]
+        out = out.reshape(Vp, B, K, Lqp)[..., :Lq].reshape(Vp, B, K * Lq)
+        return jnp.pad(out, ((0, 0), (0, 0), (0, grp.L - K * Lq)))
+
+    def _resample_to_fine_gather(self, rv, grp, B):
+        """take_along_axis fallback (steep-slope geometries where a
+        128-block's source span would exceed the anterp window)."""
         qi0, qi1, qf, qvalid = grp.fine_tables()
         # 3-D gathers measured faster than B-unrolled 2-D on v5e (SART
         # B=3: 3.18 s with this form vs 5.38 s unrolled)

@@ -299,3 +299,36 @@ def test_sart_convert_under_outer_jit(setup):
     y3 = np.asarray(sart_fast_convert(pj, g, nstart=2, nsubsets=6))
     np.testing.assert_allclose(y1, y3, rtol=1e-5, atol=1e-6)
 
+
+
+def test_resample_to_fine_anterp_matches_gather():
+    """The r5 anterp_taps lowering of _resample_to_fine must match the
+    take_along_axis fallback exactly on the LIVE flat-layout region
+    (f < K*Lq; the dead tail beyond the planes is masked by the caller's
+    qvalid — fine_tables live_f). Uses flagship-like dx/dt so the anterp
+    path actually engages (slope*127+2 < the window bound)."""
+    import jax.numpy as jnp
+
+    from ipdm_tpu.recon import sart_fast as sf
+    from ipdm_tpu.recon.fbp import FBPGeometry
+
+    g = FBPGeometry(n_det=912, n_views=40, grid_n=512, grid_l=21.0)
+    sp = sf._splan_for(g, 4)
+    rng = np.random.default_rng(0)
+    R = jnp.asarray(rng.random((2, len(sp.view_ids), sp.p.Nt), np.float32))
+    engaged = 0
+    for grp in (sp.gx_all, sp.gy_all):
+        if grp.V == 0:
+            continue
+        amax = float(np.max(grp.step)) * grp.K
+        if amax * 127 + 2 < 284:
+            engaged += 1
+        new = np.asarray(sp._resample_to_fine(R, grp))
+        rv = jnp.swapaxes(R[:, jnp.asarray(grp.local_ids)], 0, 1)
+        if grp.Vpad > grp.V:
+            rv = jnp.pad(rv, ((0, grp.Vpad - grp.V), (0, 0), (0, 0)))
+        old = np.asarray(sp._resample_to_fine_gather(rv, grp, 2))
+        live = grp.K * grp.Lq
+        np.testing.assert_allclose(new[:, :, :live], old[:, :, :live],
+                                   rtol=0, atol=1e-6)
+    assert engaged, "anterp path did not engage — geometry slope too steep"
